@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+- ``entry(spark)``: flagship query (A1 ext-breakdown shape) on sf0.001.
+- ``queries()``: every implemented operator from SURVEY.md §2 (SQL-expressible
+  ones via od_database_spark.queries.REGISTRY) plus the crawl-pipeline
+  operators (frontier round, submit dedup, image fetch/verify), which run on
+  the deterministic synthetic world and carry rows-only checks.
+- ``oracle_sql()``: DuckDB equivalents for every REGISTRY entry.
 """
 
 from __future__ import annotations
@@ -12,27 +13,95 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from od_database_spark import queries as Q
+from od_database_spark import schema
+from od_database_spark.datagen import world
+from od_database_spark.operators import fetch as fetch_ops
+from od_database_spark.operators import frontier as fr
+
+_N_HOSTS = 12  # small deterministic world for the crawl demos
+
+
+def _world(spark: SparkSession):
+    pages = world.gen_pages(spark, _N_HOSTS)
+    robots = world.gen_robots(spark, _N_HOSTS)
+    blacklist = world.gen_blacklist(spark, _N_HOSTS)
+    return pages, robots, blacklist
+
+
+def _submitted(spark: SparkSession) -> DataFrame:
+    pages, robots, blacklist = _world(spark)
+    seeds = world.gen_seeds(spark, _N_HOSTS)
+    empty = spark.createDataFrame([], schema.SEEN)
+    return fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+
+
+def q_submit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: full submit-time dedup chain (views.py:269-302) over the seed list."""
+    return _submitted(spark).select("url", "host", "submit_seq").orderBy("submit_seq")
+
+
+def q_crawl_frontier_round(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C5/C7/C9: one politeness-budgeted BFS round; returns the next frontier
+    in discovery order."""
+    pages, robots, _ = _world(spark)
+    state = fr.initial_state(_submitted(spark))
+    state, _, _ = fr.expand_round(state, pages, robots)
+    return state.frontier.orderBy("discovery_seq")
+
+
+def q_fetch_images(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S9/§2.9.4: image fetch+decode through Arrow batches (bytes summarized
+    as lengths so the result is hashable)."""
+    pages, robots, _ = _world(spark)
+    state = fr.initial_state(_submitted(spark))
+    _, _, image_urls = fr.expand_round(state, pages, robots)
+    imgs = fetch_ops.fetch_images(image_urls)
+    return imgs.select(
+        "image_id", "w", "h", "fmt", "caption", "phash",
+        F.length("bytes").alias("n_bytes"),
+    ).orderBy("image_id")
+
+
+def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """input_hint invariant: per-row decoded-pixel + caption + phash checks,
+    aggregated."""
+    pages, robots, _ = _world(spark)
+    state = fr.initial_state(_submitted(spark))
+    _, _, image_urls = fr.expand_round(state, pages, robots)
+    verified = fetch_ops.verify_images(fetch_ops.fetch_images(image_urls))
+    return verified.groupBy("fmt").agg(
+        F.count("*").alias("n"),
+        F.min(F.col("pixel_ok").cast("int")).alias("all_pixel_ok"),
+        F.min(F.col("caption_ok").cast("int")).alias("all_caption_ok"),
+        F.min(F.col("phash_ok").cast("int")).alias("all_phash_ok"),
+        F.round(F.min("psnr"), 2).alias("min_psnr"),
+    ).orderBy("fmt")
+
+
+_CRAWL_QUERIES = {
+    "submit_dedup": q_submit_dedup,
+    "crawl_frontier_round": q_crawl_frontier_round,
+    "fetch_images": q_fetch_images,
+    "image_verify": q_image_verify,
+}
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's signature stats aggregation (A1/A4 ext
+    breakdown, search/search.py:255-273) on sf0.001."""
+    return Q.q_ext_breakdown(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    out: dict[str, Callable[[SparkSession, str], DataFrame]] = {
+        name: fn for name, (fn, _sql) in Q.REGISTRY.items()
+    }
+    out.update(_CRAWL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {name: sql for name, (_fn, sql) in Q.REGISTRY.items() if sql}

@@ -1,0 +1,89 @@
+"""Fetch + decode stage: image URLs → images table rows (input_hint schema),
+all heavy work in Arrow-batched ``mapInPandas`` (SURVEY.md §2.9.4).
+
+The reference delegated fetching to an external crawler fleet
+(README.md:29-30) and its indexer ingested the results (tasks.py:91-129);
+here the "network" is the deterministic synthetic world, so fetch ≡ generate
+bytes from the URL-derived image_id.  The Spark-side plumbing — batch
+iterator shape, schema, partitioning by host, verification UDF — is the real
+contract; a live HTTP fetcher would replace only the body of
+``_fetch_batch``.
+
+Verification (input_hint): per-row decoded-pixel check vs the reference
+generator — exact for lossless formats, PSNR >= 40 dB for lossy — plus
+caption equality.
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .. import schema
+from ..datagen import images as im
+
+FETCH_RESULT = schema.IMAGES
+
+
+def _fetch_batch(image_ids: pd.Series) -> pd.DataFrame:
+    rows = [im.make_image_row(i) for i in image_ids]
+    return pd.DataFrame.from_records(
+        rows, columns=["image_id", "bytes", "w", "h", "fmt", "caption", "phash"]
+    )
+
+
+def fetch_images(image_urls: DataFrame, batch_size: int = 256) -> DataFrame:
+    """image_urls carries (url, image_id, host, ...).  Repartitioned by host
+    so one site's fetches stay on one executor (politeness affinity — the
+    per-host analog of tasks.py:158 hash64 keying), then decoded in Arrow
+    batches.  Returns schema.IMAGES."""
+    src = image_urls.select("image_id", "host").repartition(
+        image_urls.sparkSession.sparkContext.defaultParallelism, "host"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), batch_size):
+                yield _fetch_batch(pdf["image_id"].iloc[start : start + batch_size])
+
+    return src.mapInPandas(run, schema=FETCH_RESULT)
+
+
+def verify_images(images: DataFrame) -> DataFrame:
+    """Attach the per-row invariant columns: pixel_ok (allclose / PSNR>=40),
+    caption_ok, phash_ok.  Vectorized over Arrow batches; no per-row Python
+    at the DataFrame level."""
+    out_schema = (
+        "image_id string, fmt string, pixel_ok boolean, caption_ok boolean, "
+        "phash_ok boolean, psnr double"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for r in pdf.itertuples(index=False):
+                ref_px = im.pixels_for(r.image_id, r.w, r.h)
+                got = im.decode(r.fmt, bytes(r.bytes))
+                if r.fmt == "jpeg":
+                    p = im.psnr(ref_px, got)
+                    pixel_ok = bool(p >= 40.0)
+                else:
+                    p = float("inf") if np.array_equal(ref_px, got) else im.psnr(ref_px, got)
+                    pixel_ok = bool(np.array_equal(ref_px, got))
+                rows.append(
+                    {
+                        "image_id": r.image_id,
+                        "fmt": r.fmt,
+                        "pixel_ok": pixel_ok,
+                        "caption_ok": r.caption == im.caption_for(r.image_id),
+                        "phash_ok": int(r.phash) == im.phash64(got),
+                        "psnr": float(min(p, 1e9)),
+                    }
+                )
+            yield pd.DataFrame(rows)
+
+    return images.mapInPandas(run, schema=out_schema)

@@ -1,0 +1,356 @@
+"""URL frontier + fetch scheduler: BFS rounds with per-host politeness
+(SURVEY.md §2.7; north_rule core).
+
+Reference semantics being matched:
+- task queue ordering: priority DESC then FIFO (task_tracker submit,
+  tasks.py:149-166; fetch loop tasks.py:91-112) — FIFO here is the
+  deterministic discovery sequence.
+- per-site affinity: the reference keys tasks by hash64=website_id
+  (tasks.py:158); we partition scheduling windows by host.
+- politeness (north_rule C9, not in the reference snapshot): per-host budget
+  of floor(round_seconds / crawl_delay) URLs per round + robots disallow
+  prefixes.
+- duplicate suppression: enqueue-time seen-set check (database.py:78-90,
+  129-136) — a URL enters the frontier at most once, ever.
+
+Scale notes (10^10 frontier):
+- No driver-side loops over rows; each round is one DataFrame DAG.
+- The politeness rank is a window partitioned by host → one shuffle keyed by
+  host.  Host skew is bounded: the window only needs the per-host TOP-budget
+  rows, so we pre-prune with a salted partial rank before the exact window
+  (two-phase top-k) — the mega-host never serializes a round.
+- The dense discovery sequence is computed with sorted-partition offsets
+  (zipWithIndex pattern), not a single-partition window.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import schema
+from ..functions.urls import parent_prefixes_col, with_canonical
+from . import seen as seen_ops
+
+ROUND_SECONDS = 60  # scheduling quantum: budget = floor(60 / crawl_delay)
+IMAGE_EXT_RE = r"\.(jpg|jpeg|png|bmp|gif)$"
+
+
+def dense_seq(df: DataFrame, order_cols: list, start: int = 0) -> DataFrame:
+    """Add a dense, deterministic ``discovery_seq`` following ``order_cols``
+    without a single-partition window (the zipWithIndex pattern, parallel at
+    any scale): range-repartition on the sort key, freeze the partition id AS
+    A DATA COLUMN in a cache, then number each partition with a window and
+    add broadcast per-partition offsets.
+
+    The partition id must be cached as data: runtime partition ids
+    (TaskContext / spark_partition_id re-evaluated per job) are NOT stable
+    across jobs when AQE coalesces shuffle partitions.  AQE only merges
+    ADJACENT range partitions, so cached-pid order stays aligned with the
+    range order.  Fully native — no Python in the numbering path.
+    """
+    d = df.repartitionByRange(*order_cols)
+    tagged = d.withColumn("_pid", F.spark_partition_id()).cache()
+    counts = tagged.groupBy("_pid").count().collect()  # materializes the cache
+    acc = start
+    off = []
+    for r in sorted(counts, key=lambda r: r["_pid"]):
+        off.append((int(r["_pid"]), acc))
+        acc += r["count"]
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(off or [(0, start)], "_pid int, _base long")
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        tagged.join(off_df, on="_pid", how="inner")
+        .withColumn("discovery_seq", (F.col("_base") + F.row_number().over(w) - 1))
+        .drop("_pid", "_base")
+    )
+
+
+def resolve_intra_batch(passed: DataFrame) -> DataFrame:
+    """Serial-submission semantics over a parallel batch (views.py:269-302
+    replayed in submit_seq order): among identical canonical URLs the earliest
+    submission wins; a candidate is rejected iff an ACCEPTED strict prefix of
+    it has a smaller submit_seq.  Dependencies always point from shallower to
+    deeper URLs, so iterating depth levels ascending reaches the exact serial
+    fixpoint in max-depth passes (small: reference URLs are directory roots).
+    """
+    w = Window.partitionBy("canon_url").orderBy("submit_seq")
+    uniq = passed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    uniq = uniq.cache()
+    depths = [r["depth"] for r in uniq.select("depth").distinct().collect()]
+    accepted: DataFrame | None = None
+    for d in sorted(depths):
+        level = uniq.filter(F.col("depth") == d)
+        if accepted is not None:
+            pref = level.withColumn(
+                "_prefix", F.explode(parent_prefixes_col(F.col("canon_url")))
+            ).filter(F.col("_prefix") != F.col("canon_url"))
+            blockers = accepted.select(
+                F.col("canon_url").alias("_prefix"),
+                F.col("submit_seq").alias("_acc_seq"),
+            )
+            blocked = (
+                pref.join(blockers, on="_prefix", how="inner")
+                .filter(F.col("_acc_seq") < F.col("submit_seq"))
+                .select(F.col("canon_url").alias("_b_url"))
+                .distinct()
+            )
+            level = level.join(
+                blocked, on=level["canon_url"] == blocked["_b_url"], how="left_anti"
+            )
+        accepted = level if accepted is None else accepted.unionByName(level)
+    return accepted if accepted is not None else passed.limit(0)
+
+
+def submit_seeds(
+    spark: SparkSession,
+    seeds: DataFrame,
+    websites: DataFrame,
+    blacklist: DataFrame,
+    pages: DataFrame,
+) -> DataFrame:
+    """Full submit pipeline: canonicalize → static dedup chain vs existing
+    state → intra-batch serial resolution → accepted websites with stable ids.
+
+    Returns a websites-shaped DataFrame (website_id = xxhash64 of the
+    canonical url — deterministic, replayable; the reference's SERIAL id is
+    an artifact of Postgres, X9 note in SURVEY.md).
+    """
+    cand = with_canonical(seeds, "url")
+    chained = seen_ops.submit_chain(cand, websites, blacklist, pages)
+    resolved = resolve_intra_batch(chained)
+    return resolved.select(
+        F.xxhash64("canon_url").alias("website_id"),
+        F.col("canon_url").alias("url"),
+        F.col("host"),
+        F.col("submit_seq"),
+        F.col("priority"),
+        F.col("depth"),
+        F.col("url_hash"),
+    )
+
+
+@dataclass
+class CrawlState:
+    """One round's complete state — everything needed to resume."""
+
+    round_no: int
+    frontier: DataFrame  # schema.FRONTIER
+    seen: DataFrame  # schema.SEEN
+    next_seq: int
+
+
+def initial_state(accepted: DataFrame) -> CrawlState:
+    """Round-0 state from accepted submissions: every accepted root enters the
+    frontier (depth 0) and the seen set, ordered by (priority DESC, submit
+    FIFO) exactly like the task tracker queue."""
+    ordered = dense_seq(
+        accepted.select(
+            "url", "url_hash", "website_id", "host", "priority",
+            F.lit(0).alias("depth"), "submit_seq",
+        ),
+        [F.desc("priority"), F.asc("submit_seq")],
+    )
+    frontier = ordered.select(
+        "url", "url_hash", "website_id", "host",
+        F.col("priority").cast("int"), F.col("depth").cast("int"), "discovery_seq",
+    )
+    frontier = frontier.cache()
+    seen = frontier.select("url", "url_hash")
+    return CrawlState(
+        round_no=0, frontier=frontier, seen=seen, next_seq=frontier.count()
+    )
+
+
+def politeness_rank(frontier: DataFrame, robots: DataFrame, round_seconds: int = ROUND_SECONDS) -> DataFrame:
+    """Select this round's fetch set: per-host window ranked by
+    (priority DESC, discovery_seq ASC), capped at the host's crawl-delay
+    budget (C5+C9).  Unselected rows carry over to the next round.
+
+    Returns the frontier with ``_rank`` and ``_budget`` columns attached.
+    """
+    budgeted = frontier.join(F.broadcast(robots.select("host", "crawl_delay")), on="host", how="left")
+    budgeted = budgeted.withColumn(
+        "_budget",
+        F.floor(F.lit(round_seconds) / F.coalesce(F.col("crawl_delay"), F.lit(1.0))).cast("int"),
+    ).drop("crawl_delay")
+    w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("discovery_seq"))
+    return budgeted.withColumn("_rank", F.row_number().over(w))
+
+
+def _resolve_child(parent: F.Column, link: F.Column) -> F.Column:
+    """Join a relative link onto its canonical parent directory URL.
+    Absolute links pass through; '../' climbs one level (canonical parents
+    make normpath unnecessary beyond one step per link)."""
+    return (
+        F.when(link.rlike(r"^[a-z]+://"), link)
+        .when(
+            link == "../",
+            F.regexp_replace(parent, r"[^/]+/$", ""),
+        )
+        .otherwise(F.concat(parent, link))
+    )
+
+
+def expand_round(
+    state: CrawlState,
+    pages: DataFrame,
+    robots: DataFrame,
+    round_seconds: int = ROUND_SECONDS,
+) -> tuple[CrawlState, DataFrame, DataFrame]:
+    """One BFS round.  Returns (next_state, fetched_pages, image_urls):
+
+    1. politeness-rank the frontier; fetch rows with rank <= budget
+    2. robots disallow prefixes are never fetched (but stay seen)
+    3. join the page table (synthetic network); redirects yield no links
+    4. children: same-host subdirectories → next frontier (depth+1);
+       image-extension files → image fetch set
+    5. enqueue-time dedup: anti-join vs seen; assign dense discovery_seq
+    """
+    ranked = politeness_rank(state.frontier, robots, round_seconds)
+    due = ranked.filter(F.col("_rank") <= F.col("_budget"))
+    carry = ranked.filter(F.col("_rank") > F.col("_budget")).drop("_rank", "_budget")
+
+    # robots disallow: path prefix match against the host's disallow list
+    due = due.join(
+        F.broadcast(robots.select("host", "disallow_prefixes")), on="host", how="left"
+    )
+    path = F.regexp_replace(F.col("url"), r"^[a-z]+://[^/]+", "")
+    disallowed = F.exists(
+        F.coalesce(F.col("disallow_prefixes"), F.array()),
+        lambda p: path.startswith(p),
+    )
+    fetchable = due.filter(~disallowed).drop("disallow_prefixes", "_rank", "_budget")
+
+    fetched = fetchable.join(
+        pages.select(
+            F.col("url"), F.col("links"), F.col("redirects"),
+        ),
+        on="url",
+        how="inner",  # missing page = dead URL, nothing to expand
+    ).filter(~F.col("redirects"))
+
+    kids = fetched.select(
+        F.col("url").alias("parent"),
+        F.col("url_hash").alias("parent_hash"),
+        F.col("website_id"),
+        F.col("host"),
+        F.col("priority"),
+        (F.col("depth") + 1).alias("depth"),
+        F.col("discovery_seq").alias("parent_seq"),
+        F.posexplode("links").alias("link_idx", "link"),
+    ).withColumn("child_url", _resolve_child(F.col("parent"), F.col("link")))
+
+    # stay in-site: same host, below the parent tree; never follow external
+    same_host = F.col("child_url").startswith(
+        F.concat(F.regexp_extract(F.col("parent"), r"^([a-z]+://[^/]+/)", 1))
+    )
+    dirs = kids.filter(F.col("link").endswith("/") & (F.col("link") != "../") & same_host)
+    images = kids.filter(F.col("link").rlike(IMAGE_EXT_RE) & same_host)
+
+    new_urls = (
+        dirs.select(
+            F.col("child_url").alias("url"),
+            F.xxhash64("child_url").alias("url_hash"),
+            "website_id",
+            "host",
+            "priority",
+            F.col("depth").cast("int"),
+            "parent_seq",
+            "link_idx",
+        )
+    )
+    # within-round dedup (two parents can link the same dir): earliest in the
+    # round's discovery order wins — same key as the seq assignment below
+    w = Window.partitionBy("url").orderBy(
+        F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")
+    )
+    new_urls = new_urls.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+
+    new_urls = new_urls.withColumnRenamed("url", "canon_url")
+    unseen = seen_ops.filter_unseen(new_urls, state.seen).withColumnRenamed("canon_url", "url")
+
+    numbered = dense_seq(
+        unseen,
+        [F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")],
+        start=state.next_seq,
+    ).drop("parent_seq", "link_idx")
+
+    next_frontier = carry.unionByName(
+        numbered.select("url", "url_hash", "website_id", "host", "priority", "depth", "discovery_seq")
+    )
+    new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
+
+    image_urls = images.select(
+        F.col("child_url").alias("url"),
+        F.col("website_id"),
+        F.col("host"),
+        F.col("parent_seq"),
+        F.col("link_idx"),
+        F.format_string(
+            "img_%08x", F.pmod(F.xxhash64("child_url"), F.lit(4294967296))
+        ).alias("image_id"),
+    )
+
+    n_new = numbered.count()
+    next_state = CrawlState(
+        round_no=state.round_no + 1,
+        frontier=next_frontier,
+        seen=new_seen,
+        next_seq=state.next_seq + n_new,
+    )
+    return next_state, fetched, image_urls
+
+
+# --- checkpoint / resume ---------------------------------------------------
+
+
+def checkpoint(state: CrawlState, ckpt_dir: str) -> CrawlState:
+    """Persist one round's state; the `.done` marker commits it atomically
+    (parquet dirs are written before the marker exists).  The task-tracker
+    lease/reassign loop (tasks.py:93-112, max_assign_time) collapses into
+    this: an interrupted round simply re-runs from the last marker."""
+    rd = os.path.join(ckpt_dir, f"round_{state.round_no:05d}")
+    state.frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
+    state.seen.write.mode("overwrite").parquet(os.path.join(rd, "seen"))
+    spark = state.frontier.sparkSession
+    spark.createDataFrame(
+        [(state.round_no, state.next_seq)], "round_no int, next_seq long"
+    ).write.mode("overwrite").parquet(os.path.join(rd, "meta"))
+    with open(os.path.join(rd, ".done"), "w") as f:
+        f.write("ok")
+    # reload from disk so downstream plans read the compact files instead of
+    # dragging the whole lineage DAG across rounds
+    return load_checkpoint(spark, ckpt_dir, state.round_no)
+
+
+def latest_round(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    rounds = [
+        int(d.split("_")[1])
+        for d in os.listdir(ckpt_dir)
+        if d.startswith("round_") and os.path.exists(os.path.join(ckpt_dir, d, ".done"))
+    ]
+    return max(rounds) if rounds else None
+
+
+def load_checkpoint(spark: SparkSession, ckpt_dir: str, round_no: int | None = None) -> CrawlState:
+    if round_no is None:
+        round_no = latest_round(ckpt_dir)
+        if round_no is None:
+            raise FileNotFoundError(f"no completed round under {ckpt_dir}")
+    rd = os.path.join(ckpt_dir, f"round_{round_no:05d}")
+    meta = spark.read.parquet(os.path.join(rd, "meta")).collect()[0]
+    return CrawlState(
+        round_no=meta["round_no"],
+        frontier=spark.read.schema(schema.FRONTIER).parquet(os.path.join(rd, "frontier")),
+        seen=spark.read.schema(schema.SEEN).parquet(os.path.join(rd, "seen")),
+        next_seq=meta["next_seq"],
+    )

@@ -1,0 +1,829 @@
+"""Query/stats operator registry: every SQL-expressible operator from
+SURVEY.md §2 re-expressed over the driver's testdata star schema, each with a
+DuckDB oracle (driver contract, __spark_entry__.py).
+
+Mapping notes — the reference's operators run over its `files` index
+(ext/size/mtime/website_id); the driver's DuckDB views only cover the
+testdata tables, so each operator KEEPS ITS SHAPE but runs on the analog
+column set (documents.lang ≈ ext keyword; events.value ≈ size; orders dates ≈
+mtime; o_custkey ≈ website_id).  The same operators run over the real crawl
+tables in the pytest layer.
+
+Determinism rules applied to every query:
+- total order: every ORDER BY ends with a unique key tiebreak
+- money-style sums: exact DECIMAL(18,2) accumulation, cast to double after
+- float aggregates: rounded to 4 decimals on BOTH engines
+- timestamps: compared as epoch seconds (session TZ pinned UTC)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+# ---------------------------------------------------------------------------
+# helpers
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _dec_sum(col):  # exact cross-engine sum for money-ish doubles
+    return F.sum(F.col(col).cast("decimal(18,2)")).cast("double")
+
+
+BLOCKED_TERMS = ("spark", "vector")  # F10 analog blocklist
+
+# minhash constants (shared literally with the SQL below)
+MH_P = 2147483647
+MH_N = 8
+MH_A = [2 * j + 3 for j in range(MH_N)]
+MH_B = [5 * j + 7 for j in range(MH_N)]
+
+# LSH-ANN hyperplanes: w[i][j] = ((i*31 + j*17) % 7) - 3, 8 planes × 64 dims
+ANN_PLANES = [[((i * 31 + j * 17) % 7) - 3 for j in range(64)] for i in range(8)]
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations (A1-A8)
+
+
+def q_ext_breakdown(spark, sf_dir):
+    """A1/A4: terms agg + per-bucket sum, top-k buckets by doc_count
+    (search/search.py:255-273,318-345)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.groupBy("lang")
+        .agg(F.count("*").alias("cnt"), F.sum("n_chars").alias("total_chars"))
+        .orderBy(F.desc("cnt"), F.asc("lang"))
+        .limit(12)
+    )
+
+
+SQL_EXT_BREAKDOWN = """
+SELECT lang, CAST(count(*) AS BIGINT) AS cnt,
+       CAST(sum(n_chars) AS BIGINT) AS total_chars
+FROM documents GROUP BY lang ORDER BY cnt DESC, lang LIMIT 12
+"""
+
+
+def q_global_totals(spark, sf_dir):
+    """A2/A3 + F5 sanity clamp (search/search.py:318-327)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") >= 0) & (F.col("value") < 1e12))
+        .agg(F.count("*").alias("cnt"), F.round(_dec_sum("value"), 2).alias("total"))
+    )
+
+
+SQL_GLOBAL_TOTALS = """
+SELECT CAST(count(*) AS BIGINT) AS cnt,
+       ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM events WHERE value >= 0 AND value < 1e12
+"""
+
+
+def q_extended_stats(spark, sf_dir):
+    """A5: extended_stats on size with sigma=1 bounds
+    (search/search.py:347-367,441-446)."""
+    e = t(spark, sf_dir, "events").filter((F.col("value") >= 0) & (F.col("value") < 1e12))
+    agg = e.agg(
+        F.count("*").alias("cnt"),
+        F.round(_dec_sum("value"), 2).alias("total"),
+        F.round(F.avg("value"), 4).alias("avg_v"),
+        F.round(F.stddev_pop("value"), 4).alias("std_v"),
+        F.round(F.var_pop("value"), 4).alias("var_v"),
+    )
+    return agg.select(
+        "cnt", "total", "avg_v", "std_v", "var_v",
+        F.round(F.col("avg_v") + F.col("std_v"), 4).alias("upper_1sig"),
+        F.round(F.col("avg_v") - F.col("std_v"), 4).alias("lower_1sig"),
+    )
+
+
+SQL_EXTENDED_STATS = """
+WITH s AS (
+  SELECT CAST(count(*) AS BIGINT) AS cnt,
+         ROUND(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2) AS total,
+         ROUND(avg(value), 4) AS avg_v,
+         ROUND(stddev_pop(value), 4) AS std_v,
+         ROUND(var_pop(value), 4) AS var_v
+  FROM events WHERE value >= 0 AND value < 1e12)
+SELECT cnt, total, avg_v, std_v, var_v,
+       ROUND(avg_v + std_v, 4) AS upper_1sig,
+       ROUND(avg_v - std_v, 4) AS lower_1sig
+FROM s
+"""
+
+
+def q_size_histogram(spark, sf_dir):
+    """A6: fixed-interval histogram with min_doc_count
+    (search/search.py:385-391; interval scaled to the value domain)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.filter((F.col("value") >= 0) & (F.col("value") < 1e12))
+        .groupBy((F.floor(F.col("value") / 25) * 25).cast("long").alias("bucket"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .orderBy("bucket")
+    )
+
+
+SQL_SIZE_HISTOGRAM = """
+SELECT CAST(floor(value / 25) * 25 AS BIGINT) AS bucket,
+       CAST(count(*) AS BIGINT) AS cnt
+FROM events WHERE value >= 0 AND value < 1e12
+GROUP BY 1 HAVING count(*) >= 5 ORDER BY bucket
+"""
+
+
+def q_date_histogram(spark, sf_dir):
+    """A7: calendar-year date histogram with min_doc_count
+    (search/search.py:392-399)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.year("o_orderdate").alias("yr"))
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 5)
+        .orderBy("yr")
+    )
+
+
+SQL_DATE_HISTOGRAM = """
+SELECT CAST(year(o_orderdate) AS INT) AS yr, CAST(count(*) AS BIGINT) AS cnt
+FROM orders GROUP BY 1 HAVING count(*) >= 5 ORDER BY yr
+"""
+
+
+def q_website_scatter(spark, sf_dir):
+    """A8: per-website doc_count + size sum, top 600
+    (search/search.py:404-430)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_custkey")
+        .agg(F.count("*").alias("cnt"), F.round(_dec_sum("o_totalprice"), 2).alias("total"))
+        .orderBy(F.desc("cnt"), F.asc("o_custkey"))
+        .limit(600)
+    )
+
+
+SQL_WEBSITE_SCATTER = """
+SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt,
+       ROUND(CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE), 2) AS total
+FROM orders GROUP BY o_custkey ORDER BY cnt DESC, o_custkey LIMIT 600
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters + §2.5 pagination (F1-F5, O1-O5)
+
+
+def q_filtered_search(spark, sf_dir):
+    """F2 (terms) + F3 (size range) + F4 (date range) + O2 (offset pagination
+    over a deterministic sort; search/search.py:191-241)."""
+    li = t(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        F.col("l_returnflag").isin("A", "R")
+        & F.col("l_quantity").between(10, 40)
+        & (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") <= "1999-12-31")
+    )
+    w = Window.orderBy(F.asc("l_orderkey"), F.asc("l_linenumber"))
+    return (
+        filtered.select(
+            "l_orderkey", "l_linenumber", "l_quantity",
+            F.unix_timestamp("l_shipdate").alias("ship_epoch"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(101, 150))
+        .drop("rn")
+    )
+
+
+SQL_FILTERED_SEARCH = """
+WITH f AS (
+  SELECT l_orderkey, l_linenumber, l_quantity,
+         CAST(epoch(l_shipdate) AS BIGINT) AS ship_epoch,
+         row_number() OVER (ORDER BY l_orderkey, l_linenumber) AS rn
+  FROM lineitem
+  WHERE l_returnflag IN ('A','R') AND l_quantity BETWEEN 10 AND 40
+    AND l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate <= TIMESTAMP '1999-12-31')
+SELECT l_orderkey, l_linenumber, l_quantity, ship_epoch
+FROM f WHERE rn BETWEEN 101 AND 150
+"""
+
+
+def q_listing_page(spark, sf_dir):
+    """O3: ORDER BY last_modified DESC LIMIT/OFFSET listing
+    (database.py:107-116)."""
+    o = t(spark, sf_dir, "orders")
+    w = Window.orderBy(F.desc("o_orderdate"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn").between(51, 100))
+        .select(
+            "o_orderkey", "o_custkey",
+            F.unix_timestamp("o_orderdate").alias("date_epoch"),
+        )
+    )
+
+
+SQL_LISTING_PAGE = """
+WITH f AS (
+  SELECT o_orderkey, o_custkey, CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch,
+         row_number() OVER (ORDER BY o_orderdate DESC, o_orderkey) AS rn
+  FROM orders)
+SELECT o_orderkey, o_custkey, date_epoch FROM f WHERE rn BETWEEN 51 AND 100
+"""
+
+
+def q_recrawl_pool(spark, sf_dir):
+    """O4 + C4: oldest-first pool with staleness-hours priority
+    (database.py:315-330, tasks.py:140-143; 'now' pinned for determinism)."""
+    now_epoch = 1009843200  # 2002-01-01, just past the data's max date
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            "o_orderkey",
+            F.unix_timestamp("o_orderdate").alias("date_epoch"),
+            F.floor((F.lit(now_epoch) - F.unix_timestamp("o_orderdate")) / 3600)
+            .cast("int")
+            .alias("priority"),
+        )
+        .orderBy(F.asc("date_epoch"), F.asc("o_orderkey"))
+        .limit(100)
+    )
+
+
+SQL_RECRAWL_POOL = """
+SELECT o_orderkey, CAST(epoch(o_orderdate) AS BIGINT) AS date_epoch,
+       CAST(floor((1009843200 - epoch(o_orderdate)) / 3600) AS INT) AS priority
+FROM orders ORDER BY date_epoch, o_orderkey LIMIT 100
+"""
+
+
+def q_random_row(spark, sf_dir):
+    """O5: ORDER BY random() LIMIT 1 (database.py:118-127) — derandomized via
+    a shared hash so both engines pick the same row."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select("o_orderkey", "o_custkey")
+        .orderBy(F.md5(F.col("o_orderkey").cast("string")), F.asc("o_orderkey"))
+        .limit(1)
+    )
+
+
+SQL_RANDOM_ROW = """
+SELECT o_orderkey, o_custkey FROM orders
+ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey LIMIT 1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.3 joins (J1, J4)
+
+
+def q_join_deleted_default(spark, sf_dir):
+    """J1: broadcast left join to the websites dim with '[DELETED]' default
+    (database.py:235-245) — dim rows are dropped to force the default path."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer").filter(F.col("c_custkey") % 7 != 0)
+    joined = o.join(F.broadcast(c), on=o["o_custkey"] == c["c_custkey"], how="left")
+    return (
+        joined.select(
+            "o_orderkey",
+            F.coalesce(F.col("c_name"), F.lit("[DELETED]")).alias("owner"),
+        )
+        .orderBy(F.asc("o_orderkey"))
+        .limit(200)
+    )
+
+
+SQL_JOIN_DELETED_DEFAULT = """
+SELECT o_orderkey, COALESCE(c_name, '[DELETED]') AS owner
+FROM orders LEFT JOIN (SELECT * FROM customer WHERE c_custkey % 7 <> 0) c
+  ON o_custkey = c_custkey
+ORDER BY o_orderkey LIMIT 200
+"""
+
+
+def q_prefix_semi_join(spark, sf_dir):
+    """J4/F7: parent-prefix membership as explode + semi-join — the equi-ized
+    form of `url = substr(%s, 0, length(url)+1)` (database.py:129-136).
+    Paths are synthesized from part attributes; roots are the 2-segment
+    prefixes of every 10th part."""
+    p = t(spark, sf_dir, "part")
+    paths = p.select(
+        "p_partkey",
+        F.concat(
+            F.lower("p_type"), F.lit("/"), F.regexp_replace("p_name", " ", "/"), F.lit("/")
+        ).alias("path"),
+    )
+    segs = F.filter(F.split(F.col("path"), "/"), lambda s: s != "")
+    with_prefixes = paths.withColumn(
+        "prefixes",
+        F.transform(
+            F.sequence(F.lit(1), F.size(segs)),
+            lambda i: F.concat(F.array_join(F.slice(segs, F.lit(1), i), "/"), F.lit("/")),
+        ),
+    )
+    roots = (
+        paths.filter(F.col("p_partkey") % 10 == 0)
+        .select(
+            F.concat(
+                F.array_join(
+                    F.slice(F.filter(F.split(F.col("path"), "/"), lambda s: s != ""), 1, 2), "/"
+                ),
+                F.lit("/"),
+            ).alias("root")
+        )
+        .distinct()
+    )
+    hit = (
+        with_prefixes.select("p_partkey", F.explode("prefixes").alias("root"))
+        .join(roots, on="root", how="left_semi")
+        .select("p_partkey")
+        .distinct()
+    )
+    accepted = paths.join(hit, on="p_partkey", how="left_anti")
+    return (
+        accepted.groupBy(F.split_part(F.col("path"), F.lit("/"), F.lit(1)).alias("seg1"))
+        .agg(F.count("*").alias("accepted_cnt"))
+        .orderBy("seg1")
+    )
+
+
+SQL_PREFIX_SEMI_JOIN = """
+WITH paths AS (
+  SELECT p_partkey,
+         lower(p_type) || '/' || replace(p_name, ' ', '/') || '/' AS path
+  FROM part),
+roots AS (
+  SELECT DISTINCT array_to_string(list_slice(list_filter(string_split(path,'/'), s -> s <> ''), 1, 2), '/') || '/' AS root
+  FROM paths WHERE p_partkey % 10 = 0),
+pref AS (
+  SELECT p_partkey, unnest(list_transform(
+           range(1, len(list_filter(string_split(path,'/'), s -> s <> '')) + 1),
+           i -> array_to_string(list_slice(list_filter(string_split(path,'/'), s -> s <> ''), 1, i), '/') || '/')) AS root
+  FROM paths),
+hit AS (SELECT DISTINCT p_partkey FROM pref WHERE root IN (SELECT root FROM roots))
+SELECT string_split(path, '/')[1] AS seg1, CAST(count(*) AS BIGINT) AS accepted_cnt
+FROM paths WHERE p_partkey NOT IN (SELECT p_partkey FROM hit)
+GROUP BY 1 ORDER BY seg1
+"""
+
+
+# ---------------------------------------------------------------------------
+# §2.6 full-text search (Q1-Q5 analogs)
+
+
+def q_multi_match(spark, sf_dir):
+    """Q2: multi-token match with AND vs OR operator
+    (search/search.py:219-231, views.py:183)."""
+    d = t(spark, sf_dir, "documents")
+    toks = ["spark", "join", "fast"]
+    words = F.split(F.col("text"), " ")
+    has = [F.array_contains(words, tk) for tk in toks]
+    and_m = has[0] & has[1] & has[2]
+    or_m = has[0] | has[1] | has[2]
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(and_m.cast("long")).alias("and_matches"),
+            F.sum(or_m.cast("long")).alias("or_matches"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_MULTI_MATCH = """
+SELECT lang,
+  CAST(sum(CASE WHEN list_contains(string_split(text,' '), 'spark')
+             AND list_contains(string_split(text,' '), 'join')
+             AND list_contains(string_split(text,' '), 'fast') THEN 1 ELSE 0 END) AS BIGINT) AS and_matches,
+  CAST(sum(CASE WHEN list_contains(string_split(text,' '), 'spark')
+              OR list_contains(string_split(text,' '), 'join')
+              OR list_contains(string_split(text,' '), 'fast') THEN 1 ELSE 0 END) AS BIGINT) AS or_matches
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_trigram_rank(spark, sf_dir):
+    """Q1/Q3: trigram relevance — score = 5*whole-token hit + 2*(# query
+    trigrams contained) (boosts views.py:197-199, analyzer
+    search/search.py:59-71)."""
+    p = t(spark, sf_dir, "part")
+    q = "widget"
+    tris = [q[i : i + 3] for i in range(len(q) - 2)]
+    name = F.lower(F.col("p_name"))
+    tri_score = sum(F.when(name.contains(tg), 1).otherwise(0) for tg in tris)
+    tok_hit = F.array_contains(F.split(name, " "), q).cast("int")
+    return (
+        p.select(
+            "p_partkey",
+            (F.lit(5) * tok_hit + F.lit(2) * tri_score).alias("score"),
+        )
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("p_partkey"))
+        .limit(50)
+    )
+
+
+def _sql_trigram_rank() -> str:
+    q = "widget"
+    tris = [q[i : i + 3] for i in range(len(q) - 2)]
+    tri_sum = " + ".join(
+        f"(CASE WHEN contains(lower(p_name), '{tg}') THEN 1 ELSE 0 END)" for tg in tris
+    )
+    return f"""
+SELECT p_partkey,
+       (5 * (CASE WHEN list_contains(string_split(lower(p_name),' '), '{q}') THEN 1 ELSE 0 END)
+        + 2 * ({tri_sum})) AS score
+FROM part
+WHERE (5 * (CASE WHEN list_contains(string_split(lower(p_name),' '), '{q}') THEN 1 ELSE 0 END)
+        + 2 * ({tri_sum})) > 0
+ORDER BY score DESC, p_partkey LIMIT 50
+"""
+
+
+def q_highlight(spark, sf_dir):
+    """Q4: <mark>-wrap matched terms (search/search.py:233-239)."""
+    p = t(spark, sf_dir, "part")
+    return (
+        p.filter(F.lower(F.col("p_name")).contains("wid"))
+        .select(
+            "p_partkey",
+            F.regexp_replace("p_name", r"(?i)(wid)", "<mark>$1</mark>").alias("marked"),
+        )
+        .orderBy("p_partkey")
+        .limit(100)
+    )
+
+
+SQL_HIGHLIGHT = r"""
+SELECT p_partkey, regexp_replace(p_name, '(?i)(wid)', '<mark>\1</mark>', 'g') AS marked
+FROM part WHERE contains(lower(p_name), 'wid') ORDER BY p_partkey LIMIT 100
+"""
+
+
+def q_blocklist(spark, sf_dir):
+    """F10/Q5: ascii-fold + lower + token-in-blocklist gate
+    (search/filter.py:20-31) applied over document texts."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.translate(F.lower(F.col("text")), "áàâäéèêëíìîïóòôöúùûüñç", "aaaaeeeeiiiioooouuuunc"), " ")
+    blocked = F.arrays_overlap(words, F.array(*[F.lit(b) for b in BLOCKED_TERMS]))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(blocked.cast("long")).alias("blocked_cnt"),
+            F.count("*").alias("total_cnt"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_BLOCKLIST = """
+SELECT lang,
+  CAST(sum(CASE WHEN len(list_intersect(
+        string_split(translate(lower(text), 'áàâäéèêëíìîïóòôöúùûüñç', 'aaaaeeeeiiiioooouuuunc'), ' '),
+        ['spark','vector'])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS blocked_cnt,
+  CAST(count(*) AS BIGINT) AS total_cnt
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+# ---------------------------------------------------------------------------
+# training-data operators: dedup / quality / similarity
+
+
+def q_dedup_exact(spark, sf_dir):
+    """Exact near-head dedup: hash-groupBy on a content fingerprint, keeper =
+    min doc_id (standard exact-dedup shape for web corpora)."""
+    d = t(spark, sf_dir, "documents")
+    fp = F.md5(F.substring(F.col("text"), 1, 40))
+    return (
+        d.groupBy(fp.alias("fingerprint"))
+        .agg(F.count("*").alias("copies"), F.min("doc_id").alias("keeper"))
+        .filter(F.col("copies") > 1)
+        .orderBy(F.desc("copies"), F.asc("keeper"))
+    )
+
+
+SQL_DEDUP_EXACT = """
+SELECT md5(substr(text, 1, 40)) AS fingerprint,
+       CAST(count(*) AS BIGINT) AS copies, min(doc_id) AS keeper
+FROM documents GROUP BY 1 HAVING count(*) > 1 ORDER BY copies DESC, keeper
+"""
+
+
+def q_text_quality(spark, sf_dir):
+    """Quality scoring: token count, mean word length, long-doc share per
+    lang — the length/ratio heuristics of a training-data pipeline."""
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    n_tok = F.size(words)
+    scored = d.select(
+        "lang",
+        n_tok.alias("n_tok"),
+        (F.col("n_chars") / n_tok).alias("chars_per_tok"),
+    )
+    return (
+        scored.groupBy("lang")
+        .agg(
+            F.round(F.avg("n_tok"), 4).alias("avg_tokens"),
+            F.round(F.avg("chars_per_tok"), 4).alias("avg_cpt"),
+            F.sum((F.col("n_tok") > 50).cast("long")).alias("long_docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TEXT_QUALITY = """
+WITH s AS (
+  SELECT lang,
+         len(list_filter(string_split(text, ' '), w -> w <> '')) AS n_tok,
+         CAST(n_chars AS DOUBLE) / len(list_filter(string_split(text, ' '), w -> w <> '')) AS chars_per_tok
+  FROM documents)
+SELECT lang, ROUND(avg(n_tok), 4) AS avg_tokens, ROUND(avg(chars_per_tok), 4) AS avg_cpt,
+       CAST(sum(CASE WHEN n_tok > 50 THEN 1 ELSE 0 END) AS BIGINT) AS long_docs
+FROM s GROUP BY lang ORDER BY lang
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    """Language-ID heuristic (deterministic stopword scoring) + confusion
+    counts vs the labeled lang."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.col("text"), " ")
+    score_en = F.size(F.filter(words, lambda w: w.isin("the", "a")))
+    score_other = F.size(F.filter(words, lambda w: w.isin("data", "table")))
+    pred = F.when(score_en > score_other, "en").otherwise("xx")
+    return (
+        d.select("lang", pred.alias("pred"))
+        .groupBy("lang", "pred")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("lang", "pred")
+    )
+
+
+SQL_LANG_ID = """
+WITH s AS (
+  SELECT lang,
+    CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a')))
+            > len(list_filter(string_split(text,' '), w -> w IN ('data','table')))
+         THEN 'en' ELSE 'xx' END AS pred
+  FROM documents)
+SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt
+FROM s GROUP BY lang, pred ORDER BY lang, pred
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates: word-3-gram shingles →
+    8 minhashes (md5-derived, engine-portable) → 4 bands of 2 → pairs sharing
+    any band bucket.  The standard shingle→minhash→band→bucket-join pipeline."""
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shingles = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+    )
+    hashed = F.transform(
+        shingles,
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    mh_cols = [
+        F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MH_A, MH_B))
+    ]
+    sigs = d.select("doc_id", *mh_cols).filter(F.col("mh0").isNotNull())
+    bands = sigs.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.concat_ws(
+                        ":", F.lit(str(bb)), F.col(f"mh{2*bb}"), F.col(f"mh{2*bb+1}")
+                    )
+                    for bb in range(MH_N // 2)
+                ]
+            )
+        ).alias("bucket"),
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (
+        a.join(b, on="bucket")
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+def _sql_minhash_lsh() -> str:
+    mh_exprs = ",\n".join(
+        f"""list_min(list_transform(hashed, h -> ({a} * h + {b}) % {MH_P})) AS mh{j}"""
+        for j, (a, b) in enumerate(zip(MH_A, MH_B))
+    )
+    band_list = ", ".join(
+        f"concat('{bb}', ':', mh{2*bb}, ':', mh{2*bb+1})" for bb in range(MH_N // 2)
+    )
+    return f"""
+WITH words AS (
+  SELECT doc_id, list_filter(string_split(text, ' '), w -> w <> '') AS w
+  FROM documents),
+sh AS (
+  SELECT doc_id,
+         list_transform(range(1, greatest(len(w) - 2, 0) + 1),
+                        i -> array_to_string(list_slice(w, i, i + 2), ' ')) AS shingles
+  FROM words),
+hs AS (
+  SELECT doc_id,
+         list_transform(shingles,
+                        s -> CAST(('0x' || substr(md5(s), 1, 12)) AS BIGINT)) AS hashed
+  FROM sh WHERE len(shingles) > 0),
+sigs AS (
+  SELECT doc_id, {mh_exprs}
+  FROM hs),
+bands AS (
+  SELECT doc_id, unnest([{band_list}]) AS bucket FROM sigs)
+SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """N-gram Jaccard near-dup verification over candidate pairs (blocked by
+    (lang, length-bucket) to bound the pair count)."""
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
+    s = d.select(
+        "doc_id", "lang",
+        F.floor(F.col("n_chars") / 64).cast("long").alias("lb"),
+        shingles.alias("sh"),
+    )
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (
+        a.join(b, on=["lang", "lb"])
+        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.round(
+                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))),
+                4,
+            ).alias("jaccard"),
+        )
+        .filter(F.col("jaccard") >= 0.2)
+        .orderBy("doc_a", "doc_b")
+    )
+    return pairs
+
+
+SQL_NGRAM_JACCARD = """
+WITH s AS (
+  SELECT doc_id, lang, CAST(floor(n_chars / 64.0) AS BIGINT) AS lb,
+         list_distinct(list_transform(
+           range(1, greatest(len(list_filter(string_split(text,' '), w -> w <> '')) - 2, 0) + 1),
+           i -> array_to_string(list_slice(list_filter(string_split(text,' '), w -> w <> ''), i, i + 2), ' '))) AS sh
+  FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
+FROM s a JOIN s b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
+WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2
+ORDER BY doc_a, doc_b
+"""
+
+
+def q_embedding_topk(spark, sf_dir):
+    """Brute-force cosine top-k ANN baseline over the embeddings table (query
+    = vec_id 0), double accumulation in array order on both engines."""
+    e = t(spark, sf_dir, "embeddings")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    joined = e.filter(F.col("vec_id") != 0).crossJoin(F.broadcast(qv))
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        joined.select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(10)
+    )
+
+
+SQL_EMBEDDING_TOPK = """
+WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS c
+  FROM embeddings, q WHERE vec_id <> 0)
+SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
+"""
+
+
+def q_embedding_lsh_ann(spark, sf_dir):
+    """LSH-bucketed ANN (the scale path): 8 fixed hyperplanes → sign-bit
+    bucket; search only the query's bucket.  Bucket histogram + in-bucket
+    top-5 for the query vector."""
+    e = t(spark, sf_dir, "embeddings")
+
+    def bucket_col(emb):
+        bits = []
+        for i, plane in enumerate(ANN_PLANES):
+            dot = F.aggregate(
+                F.zip_with(
+                    emb,
+                    F.array(*[F.lit(float(w)) for w in plane]),
+                    lambda x, y: x.cast("double") * y,
+                ),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+            bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+        return sum(bits[1:], bits[0])
+
+    b = e.select("vec_id", bucket_col(F.col("embedding")).alias("bucket"))
+    return b.groupBy("bucket").agg(F.count("*").alias("cnt")).orderBy("bucket")
+
+
+def _sql_embedding_lsh_ann() -> str:
+    def dot_sql(plane):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(ANN_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, ({bits}) AS bucket FROM embeddings)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket ORDER BY bucket
+"""
+
+
+# ---------------------------------------------------------------------------
+# registry
+
+
+REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
+    "ext_breakdown": (q_ext_breakdown, SQL_EXT_BREAKDOWN),
+    "global_totals": (q_global_totals, SQL_GLOBAL_TOTALS),
+    "extended_stats": (q_extended_stats, SQL_EXTENDED_STATS),
+    "size_histogram": (q_size_histogram, SQL_SIZE_HISTOGRAM),
+    "date_histogram": (q_date_histogram, SQL_DATE_HISTOGRAM),
+    "website_scatter": (q_website_scatter, SQL_WEBSITE_SCATTER),
+    "filtered_search": (q_filtered_search, SQL_FILTERED_SEARCH),
+    "listing_page": (q_listing_page, SQL_LISTING_PAGE),
+    "recrawl_pool": (q_recrawl_pool, SQL_RECRAWL_POOL),
+    "random_row": (q_random_row, SQL_RANDOM_ROW),
+    "join_deleted_default": (q_join_deleted_default, SQL_JOIN_DELETED_DEFAULT),
+    "prefix_semi_join": (q_prefix_semi_join, SQL_PREFIX_SEMI_JOIN),
+    "multi_match": (q_multi_match, SQL_MULTI_MATCH),
+    "trigram_rank": (q_trigram_rank, _sql_trigram_rank()),
+    "highlight": (q_highlight, SQL_HIGHLIGHT),
+    "blocklist": (q_blocklist, SQL_BLOCKLIST),
+    "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
+    "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "lang_id": (q_lang_id, SQL_LANG_ID),
+    "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
+    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
+    "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
+}

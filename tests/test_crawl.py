@@ -1,0 +1,185 @@
+"""Crawl-order + URL-seen-set equivalence vs the pure-Python oracle
+(BASELINE.json metric: 'crawl-order + URL-seen-set exact match vs reference'),
+plus checkpoint/resume identity (SURVEY.md §5.7) and bloom exactness."""
+
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from od_database_spark import schema
+from od_database_spark.datagen import world
+from od_database_spark.functions.urls import with_canonical
+from od_database_spark.operators import frontier as fr
+from od_database_spark.operators import seen as seen_ops
+
+from .oracle import Oracle
+
+N_HOSTS = 30
+MAX_ROUNDS = 12
+
+
+@pytest.fixture(scope="module")
+def world_dfs(spark):
+    pages = world.gen_pages(spark, N_HOSTS).cache()
+    robots = world.gen_robots(spark, N_HOSTS).cache()
+    blacklist = world.gen_blacklist(spark, N_HOSTS).cache()
+    pages.count()
+    return pages, robots, blacklist
+
+
+@pytest.fixture(scope="module")
+def oracle_world(world_dfs):
+    pages, robots, blacklist = world_dfs
+    pages_d = {
+        r["url"]: {
+            "links": list(r["links"]),
+            "redirects": r["redirects"],
+            "link_tag_count": r["link_tag_count"],
+            "script_tag_count": r["script_tag_count"],
+        }
+        for r in pages.collect()
+    }
+    robots_d = {
+        r["host"]: (r["crawl_delay"], list(r["disallow_prefixes"] or []))
+        for r in robots.collect()
+    }
+    bl = {r["url"] for r in blacklist.collect()}
+    return pages_d, robots_d, bl
+
+
+def run_oracle(oracle_world):
+    pages_d, robots_d, bl = oracle_world
+    o = Oracle(pages_d, robots_d, bl)
+    seeds = world.seed_urls(N_HOSTS)
+    o.submit([(u, i, 1) for i, u in enumerate(seeds)])
+    o.crawl(max_rounds=MAX_ROUNDS)
+    return o
+
+
+def run_spark(spark, world_dfs, ckpt_dir=None, resume_at=None):
+    pages, robots, blacklist = world_dfs
+    seeds = world.gen_seeds(spark, N_HOSTS)
+    empty_sites = spark.createDataFrame([], schema.SEEN)
+    accepted = fr.submit_seeds(spark, seeds, empty_sites, blacklist, pages)
+    state = fr.initial_state(accepted)
+    fetched_all, image_all = [], []
+    for rnd in range(MAX_ROUNDS):
+        if state.frontier.count() == 0:
+            break
+        state, fetched, images = fr.expand_round(state, pages, robots)
+        fetched_all.append(
+            fetched.select("url", "discovery_seq", "priority").collect()
+        )
+        image_all.extend(r["url"] for r in images.select("url").collect())
+        if ckpt_dir is not None:
+            state = fr.checkpoint(state, ckpt_dir)
+        if resume_at is not None and state.round_no == resume_at:
+            # simulate a crash: reload purely from disk
+            state = fr.load_checkpoint(spark, ckpt_dir)
+    return accepted, state, fetched_all, image_all
+
+
+@pytest.fixture(scope="module")
+def spark_run(spark, world_dfs):
+    return run_spark(spark, world_dfs)
+
+
+def test_accepted_websites_match(spark_run, oracle_world):
+    accepted, _, _, _ = spark_run
+    o = Oracle(*oracle_world)
+    seeds = world.seed_urls(N_HOSTS)
+    o.submit([(u, i, 1) for i, u in enumerate(seeds)])
+    got = {r["url"] for r in accepted.select("url").collect()}
+    assert got == set(o.websites), (
+        sorted(got - set(o.websites))[:5],
+        sorted(set(o.websites) - got)[:5],
+    )
+
+
+def test_seen_set_exact_match(spark_run, oracle_world):
+    _, state, _, _ = spark_run
+    o = run_oracle(oracle_world)
+    got = {r["url"] for r in state.seen.select("url").collect()}
+    assert got == o.seen, (sorted(got - o.seen)[:5], sorted(o.seen - got)[:5])
+
+
+def test_crawl_order_exact_match(spark_run, oracle_world):
+    _, _, fetched_all, _ = spark_run
+    o = run_oracle(oracle_world)
+    # canonical order: per round, (priority DESC, discovery_seq ASC)
+    spark_order = []
+    for rnd_rows in fetched_all:
+        spark_order.extend(
+            (r["url"], r["discovery_seq"])
+            for r in sorted(rnd_rows, key=lambda r: (-r["priority"], r["discovery_seq"]))
+        )
+    assert spark_order == o.crawl_order, (
+        spark_order[:5],
+        o.crawl_order[:5],
+        len(spark_order),
+        len(o.crawl_order),
+    )
+
+
+def test_image_urls_match(spark_run, oracle_world):
+    _, _, _, image_all = spark_run
+    o = run_oracle(oracle_world)
+    assert set(image_all) == o.image_urls
+
+
+def test_frontier_drained(spark_run):
+    _, state, _, _ = spark_run
+    assert state.frontier.count() == 0
+
+
+def test_checkpoint_resume_identical(spark, world_dfs, spark_run):
+    ckpt = tempfile.mkdtemp(prefix="oddb_ckpt_")
+    try:
+        _, state_resumed, fetched_r, _ = run_spark(
+            spark, world_dfs, ckpt_dir=ckpt, resume_at=2
+        )
+        _, state_base, fetched_b, _ = spark_run
+        seen_r = {r["url"] for r in state_resumed.seen.collect()}
+        seen_b = {r["url"] for r in state_base.seen.collect()}
+        assert seen_r == seen_b
+        flat = lambda fs: [
+            (r["url"], r["discovery_seq"]) for rows in fs for r in rows
+        ]
+        assert sorted(flat(fetched_r)) == sorted(flat(fetched_b))
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bloom_prefilter_exactness(spark):
+    # bloom-accelerated filter_unseen must equal the exact anti-join
+    seen_urls = [(world.root_url(i), ) for i in range(200)]
+    seen_df = (
+        with_canonical(spark.createDataFrame(seen_urls, "url string"))
+        .select(F.col("canon_url").alias("url"), "url_hash")
+    ).cache()
+    cand = with_canonical(
+        spark.createDataFrame(
+            [(world.root_url(i),) for i in range(150, 350)], "url string"
+        )
+    ).cache()
+    bloom = seen_ops.PartitionedBloom.build(seen_df, n_parts=8)
+    without = {r["canon_url"] for r in seen_ops.filter_unseen(cand, seen_df).collect()}
+    with_bloom = {
+        r["canon_url"] for r in seen_ops.filter_unseen(cand, seen_df, bloom).collect()
+    }
+    assert without == with_bloom
+    assert with_bloom == {world.root_url(i) for i in range(200, 350)}
+
+
+def test_bloom_no_false_negatives(spark):
+    import numpy as np
+
+    seen_urls = [(world.root_url(i),) for i in range(500)]
+    seen_df = with_canonical(spark.createDataFrame(seen_urls, "url string")).select(
+        F.col("canon_url").alias("url"), "url_hash"
+    )
+    bloom = seen_ops.PartitionedBloom.build(seen_df, n_parts=16)
+    keys = np.array([r["url_hash"] for r in seen_df.collect()], dtype=np.int64)
+    assert bloom.probe_np(keys).all()  # every member must report maybe-seen
