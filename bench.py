@@ -1,0 +1,280 @@
+#!/usr/bin/env python
+"""Benchmark harness (driver contract + BASELINE.json north rule).
+
+Default mode (what the driver runs):
+  1. times every oracle-checked query at $SPARK_GRAFT_SF_DIR (default
+     /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+  2. runs the crawl pipeline (frontier BFS + image fetch/decode) at TWO
+     parallelism levels — local[8] and local[32] (the sandbox stand-in for N
+     vs 4N executors) — in subprocesses, and reports URLs/sec, images/sec and
+     scaling efficiency
+  3. prints ONE JSON line to stdout; all progress goes to stderr
+
+Crawl-only subprocess mode:
+  python bench.py --crawl --cpus 8 --hosts 20000   # one JSON line
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+BENCH_HOSTS = int(os.environ.get("ODDB_BENCH_HOSTS", "20000"))
+SCALING_CPUS = (8, 32)
+
+
+def log(msg: str) -> None:
+    print(msg, file=sys.stderr, flush=True)
+
+
+def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from od_database_spark.queries import REGISTRY
+
+    times: dict[str, float] = {}
+    for name, (fn, _sql) in sorted(REGISTRY.items()):
+        t0 = time.time()
+        n = fn(spark, sf_dir).count()
+        times[name] = round(time.time() - t0, 3)
+        log(f"query {name}: {times[name]:.2f}s rows={n}")
+    return times
+
+
+def run_crawl(spark, n_hosts: int) -> dict:
+    """Full pipeline: submit → BFS to exhaustion → image fetch/decode.
+    World generation and caching are setup (untimed); the timed window is
+    the frontier expansion + the fetch/decode stage."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark import schema
+    from od_database_spark.datagen import world
+    from od_database_spark.operators import fetch as fetch_ops
+    from od_database_spark.operators import frontier as fr
+
+    pages = world.gen_pages(spark, n_hosts).cache()
+    robots = world.gen_robots(spark, n_hosts).cache()
+    blacklist = world.gen_blacklist(spark, n_hosts)
+    n_pages = pages.count()
+    robots.count()
+    log(f"world: {n_hosts} hosts, {n_pages} pages")
+
+    seeds = world.gen_seeds(spark, n_hosts)
+    empty = spark.createDataFrame([], schema.SEEN)
+
+    t0 = time.time()
+    accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+    state = fr.initial_state(accepted)
+    urls_fetched = 0
+    image_url_dfs = []
+    rounds = 0
+    while True:
+        state, fetched, image_urls = fr.expand_round(state, pages, robots)
+        n_frontier = state.frontier.count()  # frontier is localCheckpointed
+        urls_fetched += fetched.count()
+        image_url_dfs.append(image_urls)  # already checkpointed by expand_round
+        rounds += 1
+        log(f"round {rounds}: frontier={n_frontier} fetched_total={urls_fetched}")
+        if n_frontier == 0 or rounds >= 20:
+            break
+    crawl_s = time.time() - t0
+
+    all_images = image_url_dfs[0]
+    for df in image_url_dfs[1:]:
+        all_images = all_images.unionByName(df)
+    t1 = time.time()
+    images = fetch_ops.fetch_images(all_images)
+    n_images = images.count()
+    fetch_s = time.time() - t1
+
+    t2 = time.time()
+    verified = fetch_ops.verify_images(fetch_ops.fetch_images(all_images))
+    bad = verified.filter(
+        ~F.col("pixel_ok") | ~F.col("caption_ok") | ~F.col("phash_ok")
+    ).count()
+    verify_s = time.time() - t2
+
+    return {
+        "hosts": n_hosts,
+        "pages": n_pages,
+        "rounds": rounds,
+        "urls_fetched": urls_fetched,
+        "crawl_sec": round(crawl_s, 2),
+        "urls_per_sec": round(urls_fetched / crawl_s, 1),
+        "images": n_images,
+        "fetch_sec": round(fetch_s, 2),
+        "images_per_sec": round(n_images / fetch_s, 1),
+        "verify_sec": round(verify_s, 2),
+        "verify_failures": bad,
+    }
+
+
+def run_frontier_throughput(spark, n_urls: int) -> dict:
+    """Single-pass frontier-expansion throughput on a LARGE synthetic
+    frontier (the 10^10-frontier stand-in): one politeness-ranked, link-
+    exploded, seen-filtered, densely-numbered expansion over n_urls pending
+    URLs against a seen set of the same order.  One pass amortizes per-round
+    fixed costs, so this measures operator throughput, which is what scales
+    with executors — the end-to-end mini-crawl (run_crawl) measures the
+    round machinery instead."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import frontier as fr
+    from od_database_spark.operators import seen as seen_ops
+
+    par = spark.sparkContext.defaultParallelism
+    n_hosts = max(n_urls // 200, 16)
+
+    def synth(ids):
+        return ids.select(
+            F.format_string(
+                "http://h%d.bench.example/d%d/", F.pmod("id", F.lit(n_hosts)), F.col("id")
+            ).alias("url"),
+            F.col("id").alias("seq"),
+        )
+
+    frontier = synth(spark.range(0, n_urls, 1, par * 4)).select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.pmod(F.xxhash64("url"), F.lit(100)).cast("long").alias("website_id"),
+        F.regexp_extract("url", r"^http://([^/]+)/", 1).alias("host"),
+        (F.pmod("seq", F.lit(5)) + 1).cast("int").alias("priority"),
+        F.lit(1).alias("depth"),
+        F.col("seq").alias("discovery_seq"),
+    ).localCheckpoint(eager=True)
+    # seen set: half the children that expansion will produce
+    seen = (
+        synth(spark.range(0, n_urls, 2, par * 4))
+        .select(F.concat("url", F.lit("sub0/")).alias("url"))
+        .select("url", F.xxhash64("url").alias("url_hash"))
+        .localCheckpoint(eager=True)
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.bench.example", 1.0, []) for i in range(min(n_hosts, 100000))],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+
+    t0 = time.time()
+    ranked = fr.politeness_rank(frontier, robots, round_seconds=10**9)
+    due = ranked.filter(F.col("_rank") <= F.col("_budget")).drop("_rank", "_budget")
+    kids = due.select(
+        "website_id", "host", "priority",
+        (F.col("depth") + 1).alias("depth"),
+        F.col("discovery_seq").alias("parent_seq"),
+        F.posexplode(
+            F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: F.concat(F.col("url"), F.lit("sub"), i, F.lit("/")))
+        ).alias("link_idx", "canon_url"),
+    ).withColumn("url_hash", F.xxhash64("canon_url"))
+    unseen = seen_ops.filter_unseen(kids, seen)
+    numbered, n_new = fr.dense_seq_counted(
+        unseen, [F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")], start=n_urls
+    )
+    el = time.time() - t0
+    expanded = n_urls + 4 * n_urls  # rank inputs + exploded children
+    return {
+        "n_urls": n_urls,
+        "children": 4 * n_urls,
+        "new_enqueued": n_new,
+        "sec": round(el, 2),
+        "frontier_urls_per_sec": round(expanded / el, 1),
+    }
+
+
+def bench_subprocess(mode: str, cpus: int, extra: list[str]) -> dict:
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = str(cpus)
+    out = subprocess.run(
+        [sys.executable, os.path.join(REPO, "bench.py"), mode,
+         "--cpus", str(cpus), *extra],
+        capture_output=True, text=True, env=env, timeout=3600,
+    )
+    sys.stderr.write(out.stderr[-2000:])
+    if out.returncode != 0:
+        raise RuntimeError(f"{mode} bench @ {cpus} cpus failed: {out.stderr[-500:]}")
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--crawl", action="store_true", help="crawl-only, one JSON line")
+    ap.add_argument("--frontier", action="store_true", help="frontier-throughput only")
+    ap.add_argument("--cpus", type=int, default=CPUS)
+    ap.add_argument("--hosts", type=int, default=BENCH_HOSTS)
+    ap.add_argument("--urls", type=int, default=int(os.environ.get("ODDB_BENCH_URLS", "2000000")))
+    ap.add_argument("--no-scaling", action="store_true")
+    args = ap.parse_args()
+
+    from od_database_spark.session import get_spark
+
+    if args.crawl or args.frontier:
+        spark = get_spark(
+            app_name=f"oddb-bench-sub-{args.cpus}", cpus=args.cpus,
+            extra_conf={"spark.ui.showConsoleProgress": "false"},
+        )
+        if args.crawl:
+            print(json.dumps(run_crawl(spark, args.hosts)), flush=True)
+        else:
+            print(json.dumps(run_frontier_throughput(spark, args.urls)), flush=True)
+        return
+
+    spark = get_spark(
+        app_name="oddb-bench", cpus=args.cpus,
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
+    )
+    t0 = time.time()
+    qtimes = run_queries(spark, SF_DIR)
+    total = round(time.time() - t0, 3)
+    spark.stop()
+
+    result = {
+        "metric": "oracle-query-suite wall time + crawl throughput at N/4N parallelism",
+        "value": total,
+        "unit": "sec",
+        "queries": qtimes,
+        "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
+    }
+
+    if not args.no_scaling:
+        factor = SCALING_CPUS[1] / SCALING_CPUS[0]
+        crawl, front = {}, {}
+        for c in SCALING_CPUS:
+            log(f"--- crawl bench at local[{c}] ---")
+            crawl[str(c)] = bench_subprocess("--crawl", c, ["--hosts", str(args.hosts)])
+            log(f"--- frontier throughput at local[{c}] ---")
+            front[str(c)] = bench_subprocess("--frontier", c, ["--urls", str(args.urls)])
+        lo, hi = crawl[str(SCALING_CPUS[0])], crawl[str(SCALING_CPUS[1])]
+        flo, fhi = front[str(SCALING_CPUS[0])], front[str(SCALING_CPUS[1])]
+        result["crawl"] = {
+            "hosts": args.hosts,
+            f"urls_per_sec_local{SCALING_CPUS[0]}": lo["urls_per_sec"],
+            f"urls_per_sec_local{SCALING_CPUS[1]}": hi["urls_per_sec"],
+            f"images_per_sec_local{SCALING_CPUS[0]}": lo["images_per_sec"],
+            f"images_per_sec_local{SCALING_CPUS[1]}": hi["images_per_sec"],
+            "images_scaling_efficiency": round(
+                hi["images_per_sec"] / (factor * lo["images_per_sec"]), 3
+            ),
+            "verify_failures": hi["verify_failures"],
+            "detail": crawl,
+        }
+        result["frontier"] = {
+            "n_urls": args.urls,
+            f"frontier_urls_per_sec_local{SCALING_CPUS[0]}": flo["frontier_urls_per_sec"],
+            f"frontier_urls_per_sec_local{SCALING_CPUS[1]}": fhi["frontier_urls_per_sec"],
+            "frontier_scaling_efficiency": round(
+                fhi["frontier_urls_per_sec"] / (factor * flo["frontier_urls_per_sec"]), 3
+            ),
+            "detail": front,
+        }
+
+    print(json.dumps(result), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,189 @@
+"""Deduplication operators as a library surface over arbitrary DataFrames
+(training-data pipeline ops; the oracle-checked query forms live in
+queries.py).
+
+- exact_dedup: hash-groupBy keeper selection
+- minhash_signatures / lsh_candidate_pairs: shingle → minhash → band →
+  bucket-join (md5-derived hashes, portable to any re-implementation)
+- simhash: 60-bit sign-aggregated fingerprint, native expressions only
+- embedding_near_dup: LSH-bucketed cosine near-duplicate pairs
+
+Everything below stays in native Catalyst expressions (no Python UDFs): the
+hot path at 100 TB is groupBy/join shuffles, which AQE handles, plus
+whole-stage-codegen'd array expressions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..queries import ANN_PLANES, MH_A, MH_B, MH_P
+
+SIMHASH_BITS = 60  # 15 md5 hex digits — keeps the word hash inside int64
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row per exact content hash (keeper = min id)."""
+    fp = F.md5(F.col(text_col)).alias("_fp")
+    keepers = (
+        df.select(fp, F.col(id_col))
+        .groupBy("_fp")
+        .agg(F.min(id_col).alias(id_col))
+        .select(id_col)
+    )
+    return df.join(keepers, on=id_col, how="left_semi")
+
+
+def _word_shingles(text: Column, k: int = 3) -> Column:
+    words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+    )
+
+
+def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """8 minhash values per document over word-3-gram shingles."""
+    hashed = F.transform(
+        _word_shingles(F.col(text_col)),
+        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    )
+    cols = [
+        F.array_min(
+            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
+        ).alias(f"mh{j}")
+        for j, (a, b) in enumerate(zip(MH_A, MH_B))
+    ]
+    return df.select(F.col(id_col), *cols).filter(F.col("mh0").isNotNull())
+
+
+def lsh_candidate_pairs(sigs: DataFrame, id_col: str, rows_per_band: int = 2) -> DataFrame:
+    """Band the signatures and bucket-join: pairs sharing any band bucket."""
+    n_bands = len(MH_A) // rows_per_band
+    buckets = F.array(
+        *[
+            F.concat_ws(
+                ":",
+                F.lit(str(b)),
+                *[F.col(f"mh{b * rows_per_band + r}") for r in range(rows_per_band)],
+            )
+            for b in range(n_bands)
+        ]
+    )
+    bands = sigs.select(F.col(id_col), F.explode(buckets).alias("bucket"))
+    a, b = bands.alias("a"), bands.alias("b")
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
+        )
+        .distinct()
+    )
+
+
+def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """60-bit SimHash over word tokens, fully native: per-word md5-derived
+    hash → ±1 bit contributions aggregated per position → sign bits."""
+    words = F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
+    # one md5 per word, then literal bitmask tests (shift amounts must be
+    # Python ints — Spark's shift functions don't take Column counts)
+    hashes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
+    )
+    zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
+    acc = F.aggregate(
+        hashes,
+        zeros,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.array(
+                *[
+                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
+                    for i in range(SIMHASH_BITS)
+                ]
+            ),
+            lambda x, y: x + y,
+        ),
+    )
+    bit_terms = [
+        F.when(F.element_at(acc, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        for i in range(SIMHASH_BITS)
+    ]
+    fingerprint = bit_terms[0]
+    for term in bit_terms[1:]:
+        fingerprint = fingerprint.bitwiseOR(term)
+    return df.select(F.col(id_col), fingerprint.alias("simhash"))
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance, blocked by the top 16 bits
+    so the join is bucket-local (at scale: multi-probe over bit rotations)."""
+    sh = simhash(df, text_col, id_col)
+    keyed = sh.withColumn("block", F.shiftright("simhash", SIMHASH_BITS - 16))
+    a, b = keyed.alias("a"), keyed.alias("b")
+    return (
+        a.join(b, on="block")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def lsh_bucket(emb: Column) -> Column:
+    """Sign-bit bucket over the fixed hyperplane set (shared with
+    queries.q_embedding_lsh_ann)."""
+    bits = []
+    for i, plane in enumerate(ANN_PLANES):
+        dot = _dot(emb, F.array(*[F.lit(float(w)) for w in plane]))
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for bcol in bits[1:]:
+        out = out + bcol
+    return out
+
+
+def embedding_near_dup(
+    df: DataFrame, emb_col: str, id_col: str, threshold: float = 0.95
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
+    only form inside a sign-bucket (recall traded for the quadratic blowup —
+    the standard scale path; brute-force cosine is queries.q_embedding_topk)."""
+    norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
+    keyed = df.select(
+        F.col(id_col),
+        lsh_bucket(F.col(emb_col)).alias("bucket"),
+        F.col(emb_col).alias("_e"),
+        norm.alias("_n"),
+    )
+    a, b = keyed.alias("a"), keyed.alias("b")
+    cos = _dot(F.col("a._e"), F.col("b._e")) / (F.col("a._n") * F.col("b._n"))
+    return (
+        a.join(b, on="bucket")
+        .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.round(cos, 4).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

@@ -39,7 +39,9 @@ ROUND_SECONDS = 60  # scheduling quantum: budget = floor(60 / crawl_delay)
 IMAGE_EXT_RE = r"\.(jpg|jpeg|png|bmp|gif)$"
 
 
-def dense_seq(df: DataFrame, order_cols: list, start: int = 0) -> DataFrame:
+def dense_seq_counted(
+    df: DataFrame, order_cols: list, start: int = 0
+) -> tuple[DataFrame, int]:
     """Add a dense, deterministic ``discovery_seq`` following ``order_cols``
     without a single-partition window (the zipWithIndex pattern, parallel at
     any scale): range-repartition on the sort key, freeze the partition id AS
@@ -52,8 +54,16 @@ def dense_seq(df: DataFrame, order_cols: list, start: int = 0) -> DataFrame:
     ADJACENT range partitions, so cached-pid order stays aligned with the
     range order.  Fully native — no Python in the numbering path.
     """
-    d = df.repartitionByRange(*order_cols)
-    tagged = d.withColumn("_pid", F.spark_partition_id()).cache()
+    d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    # monotonically_increasing_id = (partition id << 33) | record-number, so
+    # masking the low 33 bits yields the row's position in its (sorted)
+    # partition — no second sort, no window exchange.  Evaluated once into
+    # the cache so recomputation/AQE can't renumber.
+    tagged = d.select(
+        "*",
+        F.spark_partition_id().alias("_pid"),
+        F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1)).alias("_pos"),
+    ).cache()
     counts = tagged.groupBy("_pid").count().collect()  # materializes the cache
     acc = start
     off = []
@@ -64,12 +74,21 @@ def dense_seq(df: DataFrame, order_cols: list, start: int = 0) -> DataFrame:
     off_df = F.broadcast(
         spark.createDataFrame(off or [(0, start)], "_pid int, _base long")
     )
-    w = Window.partitionBy("_pid").orderBy(*order_cols)
-    return (
+    out = (
         tagged.join(off_df, on="_pid", how="inner")
-        .withColumn("discovery_seq", (F.col("_base") + F.row_number().over(w) - 1))
-        .drop("_pid", "_base")
+        .withColumn("discovery_seq", F.col("_base") + F.col("_pos"))
+        .drop("_pid", "_base", "_pos")
     )
+    # Iterative callers (BFS rounds) would otherwise compound this plan every
+    # round until plan-tree handling itself blows up — cut lineage here and
+    # release the intermediate cache.
+    out = out.localCheckpoint(eager=True)
+    tagged.unpersist()
+    return out, acc - start
+
+
+def dense_seq(df: DataFrame, order_cols: list, start: int = 0) -> DataFrame:
+    return dense_seq_counted(df, order_cols, start)[0]
 
 
 def resolve_intra_batch(passed: DataFrame) -> DataFrame:
@@ -213,7 +232,19 @@ def expand_round(
        image-extension files → image fetch set
     5. enqueue-time dedup: anti-join vs seen; assign dense discovery_seq
     """
-    ranked = politeness_rank(state.frontier, robots, round_seconds)
+    # one materialization of the politeness window per round — everything
+    # downstream (due, carry, fetched, children, bench counts) branches off
+    # this, so without the cut the window would re-execute per consumer
+    ranked = politeness_rank(state.frontier, robots, round_seconds).localCheckpoint(
+        eager=True
+    )
+    # the old frontier's blocks are dead once the rank is materialized —
+    # without this, every round's checkpoint piles up in the block store and
+    # later rounds slow down on GC/eviction pressure
+    try:
+        state.frontier.unpersist()
+    except Exception:
+        pass
     due = ranked.filter(F.col("_rank") <= F.col("_budget"))
     carry = ranked.filter(F.col("_rank") > F.col("_budget")).drop("_rank", "_budget")
 
@@ -276,17 +307,21 @@ def expand_round(
     new_urls = new_urls.withColumnRenamed("url", "canon_url")
     unseen = seen_ops.filter_unseen(new_urls, state.seen).withColumnRenamed("canon_url", "url")
 
-    numbered = dense_seq(
+    numbered, n_new = dense_seq_counted(
         unseen,
         [F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")],
         start=state.next_seq,
-    ).drop("parent_seq", "link_idx")
+    )
+    numbered = numbered.drop("parent_seq", "link_idx")
 
+    # lineage management for the iterative loop: the frontier is small, so an
+    # eager localCheckpoint per round keeps the next round's window/rank plan
+    # shallow; the seen set stays a flat union of per-round checkpointed
+    # deltas (numbered is checkpointed inside dense_seq) — linear plan, no
+    # per-round copy.  Durable cuts happen in checkpoint() (parquet).
     next_frontier = carry.unionByName(
         numbered.select("url", "url_hash", "website_id", "host", "priority", "depth", "discovery_seq")
-    )
-    new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
-
+    ).localCheckpoint(eager=True)
     image_urls = images.select(
         F.col("child_url").alias("url"),
         F.col("website_id"),
@@ -297,8 +332,14 @@ def expand_round(
             "img_%08x", F.pmod(F.xxhash64("child_url"), F.lit(4294967296))
         ).alias("image_id"),
     )
+    # materialize the round's outputs, then free the rank checkpoint — its
+    # blocks are unrecoverable after unpersist, so nothing returned may still
+    # depend on it
+    fetched = fetched.localCheckpoint(eager=True)
+    image_urls = image_urls.localCheckpoint(eager=True)
+    ranked.unpersist()
+    new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
 
-    n_new = numbered.count()
     next_state = CrawlState(
         round_no=state.round_no + 1,
         frontier=next_frontier,

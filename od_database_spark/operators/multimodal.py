@@ -1,0 +1,174 @@
+"""Multimodal columns: opaque binary payloads + typed metadata, processed in
+Arrow batches (training-data pipeline requirement).
+
+Images are fully real (pure-numpy codecs in datagen.images).  Audio/video
+decoding needs codec libraries this container doesn't ship, so those decode
+paths are STUBBED: the Spark-side plumbing — schema, partitioning, UDF
+signature, batch shape — is real and tested, and the stub raises
+NotImplementedError unless the caller opts into the deterministic fake
+(decode_stub='fake'), which synthesizes metadata from a hash of the payload.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..datagen import images as im
+
+# media fact table: one opaque payload + typed metadata per row
+MEDIA = T.StructType(
+    [
+        T.StructField("media_id", T.StringType(), False),
+        T.StructField("modality", T.StringType(), False),  # image|audio|video
+        T.StructField("payload", T.BinaryType(), True),
+        T.StructField("meta", T.MapType(T.StringType(), T.StringType()), True),
+    ]
+)
+
+IMAGE_FEATURES = (
+    "media_id string, modality string, w int, h int, mean_r double, "
+    "mean_g double, mean_b double, phash long"
+)
+AUDIO_FEATURES = (
+    "media_id string, modality string, sample_rate int, n_samples long, rms double"
+)
+VIDEO_FRAME_SAMPLE = (
+    "media_id string, modality string, frame_idx int, frame_phash long"
+)
+
+
+def decode_image_features(media: DataFrame, batch_size: int = 128) -> DataFrame:
+    """Real path: decode image payloads (png/bmp/fake-jpeg), emit dimensions,
+    channel means and a perceptual hash.  mapInPandas so one partition
+    processes many rows per Arrow batch — no per-row Python dispatch."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                fmt = (r.meta or {}).get("fmt", "png")
+                px = im.decode(fmt, bytes(r.payload))
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "modality": r.modality,
+                        "w": px.shape[1],
+                        "h": px.shape[0],
+                        "mean_r": float(px[..., 0].mean()),
+                        "mean_g": float(px[..., 1].mean()),
+                        "mean_b": float(px[..., 2].mean()),
+                        "phash": im.phash64(px),
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("modality") == "image").mapInPandas(
+        run, schema=IMAGE_FEATURES
+    )
+
+
+def resize_images(media: DataFrame, w: int, h: int) -> DataFrame:
+    """Re-encode image payloads at a new size (box resample, PNG out) —
+    the preprocessing step a vision-training pipeline runs at scale."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                fmt = (r.meta or {}).get("fmt", "png")
+                px = im.decode(fmt, bytes(r.payload))
+                ys = (np.arange(h) * px.shape[0] // h).astype(int)
+                xs = (np.arange(w) * px.shape[1] // w).astype(int)
+                small = px[np.ix_(ys, xs)]
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "modality": "image",
+                        "payload": im.encode_png(small),
+                        "meta": {"fmt": "png", "w": str(w), "h": str(h)},
+                    }
+                )
+            yield pd.DataFrame(out)
+
+    return media.filter(F.col("modality") == "image").mapInPandas(run, schema=MEDIA)
+
+
+def _fake_u64(payload: bytes, salt: str) -> int:
+    return int.from_bytes(
+        hashlib.sha256(salt.encode() + bytes(payload or b"")).digest()[:8], "little"
+    )
+
+
+def extract_audio_features(media: DataFrame, decode_stub: str = "raise") -> DataFrame:
+    """STUB: no audio codec in this container.  decode_stub='raise' (default)
+    raises NotImplementedError per row batch; 'fake' emits deterministic
+    metadata derived from the payload hash so the pipeline shape is testable."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise" and len(pdf):
+                raise NotImplementedError(
+                    "audio decode requires a codec library (e.g. soundfile/ffmpeg) "
+                    "not present in this environment"
+                )
+            out = []
+            for r in pdf.itertuples(index=False):
+                h = _fake_u64(r.payload, "audio")
+                out.append(
+                    {
+                        "media_id": r.media_id,
+                        "modality": r.modality,
+                        "sample_rate": 8000 + (h % 5) * 8000,
+                        "n_samples": (h >> 8) % 10**6,
+                        "rms": round((h % 10**4) / 10**4, 6),
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=["media_id", "modality", "sample_rate", "n_samples", "rms"],
+            )
+
+    return media.filter(F.col("modality") == "audio").mapInPandas(
+        run, schema=AUDIO_FEATURES
+    )
+
+
+def sample_video_frames(
+    media: DataFrame, every_n: int = 10, decode_stub: str = "raise"
+) -> DataFrame:
+    """STUB: no video codec available.  Shape: one output row per sampled
+    frame (row-expanding mapInPandas, the real frame-sampling contract)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if decode_stub == "raise" and len(pdf):
+                raise NotImplementedError(
+                    "video decode requires ffmpeg/pyav, not present in this environment"
+                )
+            out = []
+            for r in pdf.itertuples(index=False):
+                h = _fake_u64(r.payload, "video")
+                n_frames = 30 + h % 120
+                for idx in range(0, n_frames, every_n):
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "modality": r.modality,
+                            "frame_idx": idx,
+                            "frame_phash": (_fake_u64(r.payload, f"f{idx}") % (1 << 63)),
+                        }
+                    )
+            yield pd.DataFrame(
+                out, columns=["media_id", "modality", "frame_idx", "frame_phash"]
+            )
+
+    return media.filter(F.col("modality") == "video").mapInPandas(
+        run, schema=VIDEO_FRAME_SAMPLE
+    )

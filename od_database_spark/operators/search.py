@@ -1,0 +1,257 @@
+"""Search + stats layer over the `files` fact table — the reference's actual
+query surface re-expressed as DataFrame plans (SURVEY.md §2.2, §2.4-2.6).
+
+The ES cluster's physical tricks map to Catalyst equivalents: shard routing ≡
+partition pruning on website_id; `bool.filter` context ≡ pushed predicates
+computed before the scoring projection; bucket `size:` caps ≡
+TakeOrderedAndProject.  Scoring is the documented approximation of Q3
+(5×name + 2×trigram + path hits — BM25 parity is not a target).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+RESULT_WINDOW_CAP = 10_000  # search/search.py:240
+SIZE_CLAMP = 1_000_000_000_000  # 1 TB, search/search.py:323
+SIZE_HIST_INTERVAL = 100_000_000  # 100 MB, search/search.py:388
+MIN_DOC_COUNT = 500  # search/search.py:390,397
+
+# search/search.py:23-30; score handled separately.  (col, ascending) pairs —
+# Column objects can't be built at import time (no active SparkContext).
+SORT_ORDERS = {
+    "size_asc": [("size", True)],
+    "size_dsc": [("size", False)],
+    "date_asc": [("mtime", True)],
+    "date_desc": [("mtime", False)],
+    "none": [],
+}
+
+
+def _sort_cols(sort_order: str) -> list[Column]:
+    return [
+        F.asc(c) if asc else F.desc(c) for c, asc in SORT_ORDERS.get(sort_order, [])
+    ]
+
+
+def _clamped(files: DataFrame) -> DataFrame:
+    return files.filter((F.col("size") >= 0) & (F.col("size") < SIZE_CLAMP))
+
+
+def get_stats(files: DataFrame, website_id: int) -> DataFrame:
+    """A1+A2: per-website ext breakdown, top 12 by doc count, plus bucket
+    size sums (search/search.py:245-284).  The website_id filter prunes
+    partitions when `files` is written partitioned by bucket(website_id)."""
+    return (
+        files.filter(F.col("website_id") == website_id)
+        .groupBy("ext")
+        .agg(F.count("*").alias("doc_count"), F.sum("size").alias("size_sum"))
+        .orderBy(F.desc("doc_count"), F.asc("ext"))
+        .limit(12)
+    )
+
+
+def global_stats(files: DataFrame) -> dict[str, DataFrame]:
+    """A4-A8: the four global aggregation jobs the reference regenerates on a
+    120-min schedule (search/search.py:316-458) — here one dict of lazy
+    DataFrames a scheduled job can materialize to a stats table."""
+    c = _clamped(files)
+    ext_stats = (
+        c.groupBy("ext")
+        .agg(F.count("*").alias("doc_count"), F.sum("size").alias("size_sum"))
+        .orderBy(F.desc("doc_count"), F.asc("ext"))
+        .limit(40)
+    )
+    file_stats = c.agg(
+        F.count("*").alias("count"),
+        F.sum("size").alias("sum"),
+        F.avg("size").alias("avg"),
+        F.stddev_pop("size").alias("std_deviation"),
+        F.var_pop("size").alias("variance"),
+    ).select(
+        "*",
+        (F.col("avg") + F.col("std_deviation")).alias("std_upper"),
+        (F.col("avg") - F.col("std_deviation")).alias("std_lower"),
+    )
+    sizes_histogram = (
+        c.groupBy(
+            (F.floor(F.col("size") / SIZE_HIST_INTERVAL) * SIZE_HIST_INTERVAL).alias("bucket")
+        )
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= MIN_DOC_COUNT)
+        .orderBy("bucket")
+    )
+    dates_histogram = (
+        c.filter(F.unix_timestamp("mtime") > 0)
+        .groupBy(F.year("mtime").alias("year"))
+        .agg(F.count("*").alias("doc_count"))
+        .filter(F.col("doc_count") >= MIN_DOC_COUNT)
+        .orderBy("year")
+    )
+    website_scatter = (
+        c.groupBy("website_id")
+        .agg(F.count("*").alias("doc_count"), F.sum("size").alias("size_sum"))
+        .orderBy(F.desc("doc_count"), F.asc("website_id"))
+        .limit(600)
+    )
+    return {
+        "ext_stats": ext_stats,
+        "file_stats": file_stats,
+        "sizes_histogram": sizes_histogram,
+        "dates_histogram": dates_histogram,
+        "website_scatter": website_scatter,
+    }
+
+
+def _trigrams(col: Column) -> Column:
+    """Q1: 3-gram set of a lowercased, whitespace-stripped string — the
+    nGram(3,3)+lowercase analyzer (search/search.py:59-71) as a native
+    expression."""
+    s = F.lower(col)
+    return F.array_distinct(
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(F.length(s) - 2, F.lit(0))),
+                lambda i: F.substring(s, i, 3),
+            ),
+            lambda g: F.length(g) == 3,
+        )
+    )
+
+
+def score_expr(q: str, fields: list[str]) -> Column:
+    """Q2+Q3: multi-field match score with the reference's boosts
+    (name^5, name.nGram^2, path^1 — views.py:185-199)."""
+    tokens = [t for t in q.lower().split() if t]
+    score = F.lit(0)
+    if "name" in fields:
+        name_words = F.split(F.lower(F.col("name")), r"[^a-z0-9]+")
+        hits = sum(
+            (F.array_contains(name_words, t).cast("int") for t in tokens),
+            F.lit(0),
+        )
+        score = score + F.lit(5) * hits
+    if "name.nGram" in fields:
+        grams = _trigrams(F.col("name"))
+        q_grams = [t[i : i + 3] for t in tokens for i in range(max(len(t) - 2, 0))]
+        if q_grams:
+            overlap = sum(
+                (F.array_contains(grams, g).cast("int") for g in set(q_grams)),
+                F.lit(0),
+            )
+            score = score + F.lit(2) * overlap
+    if "path" in fields:
+        path_words = F.split(F.lower(F.col("path")), r"[^a-z0-9]+")
+        hits = sum(
+            (F.array_contains(path_words, t).cast("int") for t in tokens),
+            F.lit(0),
+        )
+        score = score + hits
+    return score
+
+
+def match_expr(q: str, fields: list[str], match_all: bool) -> Column:
+    """Q2 operator semantics: AND unless match_all (views.py:183 maps the
+    'all' flag to OR — quirk preserved: match_all=True means OR)."""
+    tokens = [t for t in q.lower().split() if t]
+    per_token = []
+    for tk in tokens:
+        cols = []
+        if "name" in fields:
+            cols.append(F.array_contains(F.split(F.lower(F.col("name")), r"[^a-z0-9]+"), tk))
+        if "name.nGram" in fields and len(tk) >= 3:
+            grams = [tk[i : i + 3] for i in range(len(tk) - 2)]
+            g = _trigrams(F.col("name"))
+            hit = F.array_contains(g, grams[0])
+            for gr in grams[1:]:
+                hit = hit & F.array_contains(g, gr)
+            cols.append(hit)
+        if "path" in fields:
+            cols.append(F.array_contains(F.split(F.lower(F.col("path")), r"[^a-z0-9]+"), tk))
+        tok_hit = cols[0]
+        for c in cols[1:]:
+            tok_hit = tok_hit | c
+        per_token.append(tok_hit)
+    out = per_token[0]
+    for p in per_token[1:]:
+        out = (out | p) if match_all else (out & p)
+    return out
+
+
+def search(
+    files: DataFrame,
+    q: str,
+    page: int = 0,
+    per_page: int = 50,
+    sort_order: str = "score",
+    extensions: list[str] | None = None,
+    size_min: int = 0,
+    size_max: int = 0,
+    match_all: bool = False,
+    fields: list[str] | None = None,
+    date_min: int = 0,
+    date_max: int = 0,
+) -> DataFrame:
+    """The /search entry point (views.py:157-199 param semantics +
+    search/search.py:191-241 query construction)."""
+    if len(q) < 3:  # views.py:201
+        return files.limit(0)
+    fields = fields or ["path", "name", "name.nGram"]
+    exts = [e.strip().strip(".").lower() for e in (extensions or []) if e.strip()]
+
+    df = files
+    if exts:  # F2
+        df = df.filter(F.col("ext").isin(exts))
+    if size_min > 0:  # F3
+        df = df.filter(F.col("size") >= size_min)
+    if size_max:
+        df = df.filter(F.col("size") <= size_max)
+    if date_min > 0:  # F4
+        df = df.filter(F.unix_timestamp("mtime") >= date_min)
+    if date_max:
+        df = df.filter(F.unix_timestamp("mtime") <= date_max)
+
+    df = df.filter(match_expr(q, fields, match_all))
+    df = df.withColumn("score", score_expr(q, fields))
+
+    order = [F.desc("score")] if sort_order == "score" else _sort_cols(sort_order)
+    order = order + [F.asc("website_id"), F.asc("path"), F.asc("name"), F.asc("ext")]
+    start = min(page * per_page, RESULT_WINDOW_CAP - per_page)  # O2 cap
+    w = Window.orderBy(*order)
+    return (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") > start) & (F.col("rn") <= start + per_page))
+        .drop("rn")
+    )
+
+
+def highlight(df: DataFrame, q: str) -> DataFrame:
+    """Q4: <mark>-wrap matched terms in name and path
+    (search/search.py:233-239)."""
+    tokens = [t for t in q.lower().split() if t]
+    pattern = "(?i)(" + "|".join(tokens) + ")"
+    return df.withColumn(
+        "name_hl", F.regexp_replace("name", pattern, "<mark>$1</mark>")
+    ).withColumn("path_hl", F.regexp_replace("path", pattern, "<mark>$1</mark>"))
+
+
+def get_link_list(files: DataFrame, websites: DataFrame, website_id: int) -> DataFrame:
+    """J5: reconstruct full URLs for one website's docs
+    (search/search.py:286-305): base + path + '/'? + name + '.'? + ext."""
+    base = websites.filter(F.col("website_id") == website_id).select(
+        "website_id", F.col("url").alias("base_url")
+    )
+    docs = files.filter(F.col("website_id") == website_id).select(
+        "website_id", "path", "name", "ext"
+    )
+    return docs.join(F.broadcast(base), on="website_id").select(
+        F.concat(
+            F.col("base_url"),
+            F.col("path"),
+            F.when(F.col("path") != "", "/").otherwise(""),
+            F.col("name"),
+            F.when(F.col("ext") != "", ".").otherwise(""),
+            F.col("ext"),
+        ).alias("link")
+    )

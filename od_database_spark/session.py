@@ -34,6 +34,12 @@ def get_spark(
     # package ships via ``spark-submit --py-files``.  Locally, export the repo
     # root on PYTHONPATH before the JVM forks workers so pandas UDFs resolve
     # `od_database_spark` regardless of the caller's cwd.
+    # one Python worker per core is the parallelism unit — BLAS/OpenMP threads
+    # inside numpy would oversubscribe (N workers × M BLAS threads) and
+    # serialize the Arrow UDF stages on spin-waits
+    for var in ("OMP_NUM_THREADS", "OPENBLAS_NUM_THREADS", "MKL_NUM_THREADS"):
+        os.environ.setdefault(var, "1")
+
     repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     existing = os.environ.get("PYTHONPATH", "")
     if repo_root not in existing.split(os.pathsep):
@@ -54,6 +60,7 @@ def get_spark(
         .config("spark.sql.parquet.compression.codec", "zstd")
         .config("spark.driver.memory", os.environ.get("ODDB_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
+        .config("spark.sql.maxPlanStringLength", "16384")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
     if not SparkSession.getActiveSession():

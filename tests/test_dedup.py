@@ -1,0 +1,99 @@
+"""Dedup operators vs pure-Python/numpy oracles."""
+
+import hashlib
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from od_database_spark.operators import dedup as D
+from od_database_spark.queries import ANN_PLANES, MH_A, MH_B, MH_P
+
+DOCS = [
+    (0, "the quick brown fox jumps over the lazy dog"),
+    (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+    (2, "the quick brown fox jumps over the sleepy dog"),  # near dup
+    (3, "completely different words in this one entirely"),
+    (4, "spark runs distributed queries over columnar data"),
+    (5, "spark runs distributed queries over columnar files"),  # near dup of 4
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string").cache()
+
+
+def py_shingles(text, k=3):
+    w = [x for x in text.split() if x]
+    return [" ".join(w[i : i + k]) for i in range(len(w) - k + 1)]
+
+
+def py_minhash(text):
+    hs = [int(hashlib.md5(s.encode()).hexdigest()[:12], 16) for s in py_shingles(text)]
+    return [min((a * h + b) % MH_P for h in hs) for a, b in zip(MH_A, MH_B)]
+
+
+def py_simhash(text):
+    acc = [0] * D.SIMHASH_BITS
+    for w in set(x for x in text.split() if x):
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        for i in range(D.SIMHASH_BITS):
+            acc[i] += 1 if (h >> i) & 1 else -1
+    out = 0
+    for i, v in enumerate(acc):
+        if v > 0:
+            out |= 1 << i
+    return out
+
+
+def test_exact_dedup(docs):
+    kept = sorted(r["doc_id"] for r in D.exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [0, 2, 3, 4, 5]  # doc 1 collapses into 0
+
+
+def test_minhash_matches_python_oracle(docs):
+    rows = {r["doc_id"]: [r[f"mh{j}"] for j in range(len(MH_A))]
+            for r in D.minhash_signatures(docs, "text", "doc_id").collect()}
+    for doc_id, text in DOCS:
+        assert rows[doc_id] == py_minhash(text), doc_id
+
+
+def test_lsh_pairs_find_near_dups(docs):
+    sigs = D.minhash_signatures(docs, "text", "doc_id")
+    pairs = {(r["id_a"], r["id_b"]) for r in D.lsh_candidate_pairs(sigs, "doc_id").collect()}
+    assert (0, 1) in pairs  # identical docs always collide
+    assert (0, 2) in pairs or (4, 5) in pairs  # near dups collide w.h.p.
+    assert (0, 3) not in pairs  # unrelated docs don't
+
+
+def test_simhash_matches_python_oracle(docs):
+    rows = {r["doc_id"]: r["simhash"] for r in D.simhash(docs, "text", "doc_id").collect()}
+    for doc_id, text in DOCS:
+        assert rows[doc_id] == py_simhash(text), doc_id
+
+
+def test_simhash_near_pairs(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"]
+             for r in D.simhash_near_pairs(docs, "text", "doc_id", max_hamming=10).collect()}
+    assert pairs.get((0, 1)) == 0
+    assert (0, 3) not in pairs
+
+
+def test_embedding_near_dup_matches_numpy(spark):
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(6, 16)).astype(np.float32)
+    base[1] = base[0] + rng.normal(scale=0.01, size=16).astype(np.float32)  # near dup
+    rows = [(i, [float(x) for x in base[i]]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    got = {(r["id_a"], r["id_b"]): r["cosine"]
+           for r in D.embedding_near_dup(df, "embedding", "vec_id", 0.95).collect()}
+    assert (0, 1) in got and got[(0, 1)] >= 0.99
+    # oracle: brute-force cosine over pairs sharing the LSH bucket
+    planes = np.array(ANN_PLANES, dtype=np.float64)[:, :16]
+    buckets = ((base.astype(np.float64) @ planes.T) > 0) @ (1 << np.arange(8))
+    for (a, b), c in got.items():
+        assert buckets[a] == buckets[b]
+        na, nb = np.linalg.norm(base[a]), np.linalg.norm(base[b])
+        expect = float(base[a].astype(np.float64) @ base[b].astype(np.float64) / (na * nb))
+        assert abs(round(expect, 4) - c) <= 1e-3
