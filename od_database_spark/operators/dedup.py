@@ -49,13 +49,18 @@ def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
         _word_shingles(F.col(text_col)),
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
+    # separate projection so the md5 chain evaluates once, not once per mh
     cols = [
         F.array_min(
-            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
+            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MH_A, MH_B))
     ]
-    return df.select(F.col(id_col), *cols).filter(F.col("mh0").isNotNull())
+    return (
+        df.select(F.col(id_col), hashed.alias("_h"))
+        .select(F.col(id_col), *cols)
+        .filter(F.col("mh0").isNotNull())
+    )
 
 
 def lsh_candidate_pairs(sigs: DataFrame, id_col: str, rows_per_band: int = 2) -> DataFrame:

@@ -91,6 +91,30 @@ def dense_seq(df: DataFrame, order_cols: list, start: int = 0) -> DataFrame:
     return dense_seq_counted(df, order_cols, start)[0]
 
 
+def packed_seq(df: DataFrame, order_cols: list, round_no: int) -> DataFrame:
+    """Order-preserving (NOT dense) ``discovery_seq`` in ONE pass:
+    range-partition + sort, then pack (round, partition, position) into one
+    long.  Compared to dense_seq this skips the per-partition counts job, the
+    offsets broadcast join, and the extra cache materialization — the seq
+    VALUES depend on sampled partition boundaries, but their ORDER always
+    equals the sort order, which is the crawl-order contract (the reference's
+    task ids are opaque too; only priority-then-FIFO dequeue order is
+    observable — tasks.py:149-166).
+
+    Layout: bits 45+ round+1, bits 33-44 partition id, bits 0-32 row position
+    → strictly monotone across rounds, sort-ordered within a round.
+    """
+    d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    packed = (
+        F.lit((round_no + 1) << 45)
+        + F.shiftleft(F.spark_partition_id().cast("long"), 33)
+        + F.monotonically_increasing_id().bitwiseAND(F.lit((1 << 33) - 1))
+    )
+    # localCheckpoint: freezes the (partition, position) assignment AND cuts
+    # the iterative lineage in the same materialization.
+    return d.select("*", packed.alias("discovery_seq")).localCheckpoint(eager=True)
+
+
 def resolve_intra_batch(passed: DataFrame) -> DataFrame:
     """Serial-submission semantics over a parallel batch (views.py:269-302
     replayed in submit_seq order): among identical canonical URLs the earliest
@@ -169,22 +193,20 @@ def initial_state(accepted: DataFrame) -> CrawlState:
     """Round-0 state from accepted submissions: every accepted root enters the
     frontier (depth 0) and the seen set, ordered by (priority DESC, submit
     FIFO) exactly like the task tracker queue."""
-    ordered = dense_seq(
+    ordered = packed_seq(
         accepted.select(
             "url", "url_hash", "website_id", "host", "priority",
             F.lit(0).alias("depth"), "submit_seq",
         ),
         [F.desc("priority"), F.asc("submit_seq")],
+        round_no=0,
     )
     frontier = ordered.select(
         "url", "url_hash", "website_id", "host",
         F.col("priority").cast("int"), F.col("depth").cast("int"), "discovery_seq",
     )
-    frontier = frontier.cache()
     seen = frontier.select("url", "url_hash")
-    return CrawlState(
-        round_no=0, frontier=frontier, seen=seen, next_seq=frontier.count()
-    )
+    return CrawlState(round_no=0, frontier=frontier, seen=seen, next_seq=0)
 
 
 def politeness_rank(frontier: DataFrame, robots: DataFrame, round_seconds: int = ROUND_SECONDS) -> DataFrame:
@@ -307,12 +329,11 @@ def expand_round(
     new_urls = new_urls.withColumnRenamed("url", "canon_url")
     unseen = seen_ops.filter_unseen(new_urls, state.seen).withColumnRenamed("canon_url", "url")
 
-    numbered, n_new = dense_seq_counted(
+    numbered = packed_seq(
         unseen,
         [F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")],
-        start=state.next_seq,
-    )
-    numbered = numbered.drop("parent_seq", "link_idx")
+        round_no=state.round_no + 1,
+    ).drop("parent_seq", "link_idx")
 
     # lineage management for the iterative loop: the frontier is small, so an
     # eager localCheckpoint per round keeps the next round's window/rank plan
@@ -344,7 +365,7 @@ def expand_round(
         round_no=state.round_no + 1,
         frontier=next_frontier,
         seen=new_seen,
-        next_seq=state.next_seq + n_new,
+        next_seq=0,  # packed seqs embed the round; no global counter needed
     )
     return next_state, fetched, image_urls
 

@@ -331,7 +331,7 @@ def q_prefix_semi_join(spark, sf_dir):
         ),
     )
     roots = (
-        paths.filter(F.col("p_partkey") % 10 == 0)
+        paths.filter(F.col("p_partkey") % 100 == 0)
         .select(
             F.concat(
                 F.array_join(
@@ -363,7 +363,7 @@ WITH paths AS (
   FROM part),
 roots AS (
   SELECT DISTINCT array_to_string(list_slice(list_filter(string_split(path,'/'), s -> s <> ''), 1, 2), '/') || '/' AS root
-  FROM paths WHERE p_partkey % 10 = 0),
+  FROM paths WHERE p_partkey % 100 = 0),
 pref AS (
   SELECT p_partkey, unnest(list_transform(
            range(1, len(list_filter(string_split(path,'/'), s -> s <> '')) + 1),
@@ -595,13 +595,20 @@ def q_minhash_lsh(spark, sf_dir):
         shingles,
         lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
     )
+    # materialize the md5-derived shingle hashes ONCE (separate projection),
+    # then derive the 8 minhashes from the column — otherwise each mh column
+    # re-evaluates the md5 chain
     mh_cols = [
         F.array_min(
-            F.transform(hashed, lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
+            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
         ).alias(f"mh{j}")
         for j, (a, b) in enumerate(zip(MH_A, MH_B))
     ]
-    sigs = d.select("doc_id", *mh_cols).filter(F.col("mh0").isNotNull())
+    sigs = (
+        d.select("doc_id", hashed.alias("_h"))
+        .select("doc_id", *mh_cols)
+        .filter(F.col("mh0").isNotNull())
+    )
     bands = sigs.select(
         "doc_id",
         F.explode(

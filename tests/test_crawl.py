@@ -106,20 +106,19 @@ def test_seen_set_exact_match(spark_run, oracle_world):
 
 
 def test_crawl_order_exact_match(spark_run, oracle_world):
+    """Crawl ORDER is the contract (priority-then-FIFO dequeue); seq values
+    are opaque ids (packed, not dense) so the comparison is the URL sequence."""
     _, _, fetched_all, _ = spark_run
     o = run_oracle(oracle_world)
-    # canonical order: per round, (priority DESC, discovery_seq ASC)
     spark_order = []
     for rnd_rows in fetched_all:
         spark_order.extend(
-            (r["url"], r["discovery_seq"])
+            r["url"]
             for r in sorted(rnd_rows, key=lambda r: (-r["priority"], r["discovery_seq"]))
         )
-    assert spark_order == o.crawl_order, (
-        spark_order[:5],
-        o.crawl_order[:5],
-        len(spark_order),
-        len(o.crawl_order),
+    oracle_order = [url for url, _seq in o.crawl_order]
+    assert spark_order == oracle_order, (
+        spark_order[:5], oracle_order[:5], len(spark_order), len(oracle_order),
     )
 
 
@@ -144,10 +143,13 @@ def test_checkpoint_resume_identical(spark, world_dfs, spark_run):
         seen_r = {r["url"] for r in state_resumed.seen.collect()}
         seen_b = {r["url"] for r in state_base.seen.collect()}
         assert seen_r == seen_b
+        # seq values are run-specific (packed); the ORDER must be identical
         flat = lambda fs: [
-            (r["url"], r["discovery_seq"]) for rows in fs for r in rows
+            r["url"]
+            for rows in fs
+            for r in sorted(rows, key=lambda r: (-r["priority"], r["discovery_seq"]))
         ]
-        assert sorted(flat(fetched_r)) == sorted(flat(fetched_b))
+        assert flat(fetched_r) == flat(fetched_b)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
