@@ -85,6 +85,8 @@ def canonicalize(url: str) -> dict:
     path = posixpath.normpath(path)
     if path == ".":
         path = "/"
+    if path.startswith("//"):  # POSIX normpath preserves a leading '//'
+        path = path[1:]
     if not path.endswith("/"):
         path += "/"
     if not path.startswith("/"):
