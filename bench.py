@@ -209,6 +209,38 @@ def run_frontier_throughput(spark, n_urls: int) -> dict:
     }
 
 
+def run_fetch_throughput(spark, n_images: int) -> dict:
+    """Fetch/decode stage in isolation (Arrow-batched numpy, no shuffle) —
+    the CPU-bound half of the pipeline, best-of-3."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import fetch as fetch_ops
+
+    urls = (
+        spark.range(n_images)
+        .select(
+            F.format_string(
+                "img_%08x", F.pmod(F.xxhash64("id"), F.lit(4294967296))
+            ).alias("image_id"),
+            F.format_string("h%d.example.net", F.pmod("id", F.lit(500))).alias("host"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    trials = []
+    n = 0
+    for _ in range(3):
+        t0 = time.time()
+        n = fetch_ops.fetch_images(urls).count()
+        trials.append(time.time() - t0)
+    best = min(trials)
+    return {
+        "n_images": n,
+        "sec": round(best, 2),
+        "trials_sec": [round(t, 2) for t in trials],
+        "images_per_sec": round(n / best, 1),
+    }
+
+
 def bench_subprocess(mode: str, cpus: int, extra: list[str]) -> dict:
     env = dict(os.environ)
     env["SPARK_GRAFT_CPUS"] = str(cpus)
@@ -227,6 +259,8 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl", action="store_true", help="crawl-only, one JSON line")
     ap.add_argument("--frontier", action="store_true", help="frontier-throughput only")
+    ap.add_argument("--fetch", action="store_true", help="fetch/decode-throughput only")
+    ap.add_argument("--images", type=int, default=int(os.environ.get("ODDB_BENCH_IMAGES", "60000")))
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--hosts", type=int, default=BENCH_HOSTS)
     ap.add_argument("--urls", type=int, default=int(os.environ.get("ODDB_BENCH_URLS", "2000000")))
@@ -235,13 +269,15 @@ def main() -> None:
 
     from od_database_spark.session import get_spark
 
-    if args.crawl or args.frontier:
+    if args.crawl or args.frontier or args.fetch:
         spark = get_spark(
             app_name=f"oddb-bench-sub-{args.cpus}", cpus=args.cpus,
             extra_conf={"spark.ui.showConsoleProgress": "false"},
         )
         if args.crawl:
             print(json.dumps(run_crawl(spark, args.hosts)), flush=True)
+        elif args.fetch:
+            print(json.dumps(run_fetch_throughput(spark, args.images)), flush=True)
         else:
             print(json.dumps(run_frontier_throughput(spark, args.urls)), flush=True)
         return
@@ -271,6 +307,10 @@ def main() -> None:
         for c in FRONTIER_SCALING_CPUS:
             log(f"--- frontier throughput at local[{c}] ---")
             front[str(c)] = bench_subprocess("--frontier", c, ["--urls", str(args.urls)])
+        fetch = {}
+        for c in FRONTIER_SCALING_CPUS:
+            log(f"--- fetch/decode throughput at local[{c}] ---")
+            fetch[str(c)] = bench_subprocess("--fetch", c, ["--images", str(args.images)])
         cfac = CRAWL_SCALING_CPUS[1] / CRAWL_SCALING_CPUS[0]
         ffac = FRONTIER_SCALING_CPUS[1] / FRONTIER_SCALING_CPUS[0]
         lo, hi = crawl[str(CRAWL_SCALING_CPUS[0])], crawl[str(CRAWL_SCALING_CPUS[1])]
@@ -295,6 +335,16 @@ def main() -> None:
                 fhi["frontier_urls_per_sec"] / (ffac * flo["frontier_urls_per_sec"]), 3
             ),
             "detail": front,
+        }
+        dlo, dhi = fetch[str(FRONTIER_SCALING_CPUS[0])], fetch[str(FRONTIER_SCALING_CPUS[1])]
+        result["fetch_decode"] = {
+            "n_images": args.images,
+            f"images_per_sec_local{FRONTIER_SCALING_CPUS[0]}": dlo["images_per_sec"],
+            f"images_per_sec_local{FRONTIER_SCALING_CPUS[1]}": dhi["images_per_sec"],
+            "fetch_scaling_efficiency": round(
+                dhi["images_per_sec"] / (ffac * dlo["images_per_sec"]), 3
+            ),
+            "detail": fetch,
         }
 
     print(json.dumps(result), flush=True)
