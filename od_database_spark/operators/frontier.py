@@ -373,18 +373,52 @@ def expand_round(
 # --- checkpoint / resume ---------------------------------------------------
 
 
-def checkpoint(state: CrawlState, ckpt_dir: str) -> CrawlState:
+def _lineage_manifest(df: DataFrame, round_no: int, table: str) -> DataFrame:
+    """Per-partition lineage rows (SURVEY.md S12 analog): one row per
+    (round, partition) with a deterministic token — replaces the reference's
+    uuid upload slots (tasks.py:167-176; X9: no uuid, replayable)."""
+    return (
+        df.groupBy(F.spark_partition_id().alias("partition_id"))
+        .agg(F.count("*").alias("rows"), F.sum(F.crc32(F.col("url").cast("binary"))).alias("_ck"))
+        .select(
+            F.lit(round_no).alias("round"),
+            F.col("partition_id"),
+            F.lit(table).alias("table"),
+            F.col("rows"),
+            F.format_string(
+                "%s_%d_%08x", F.lit(table), F.col("partition_id"),
+                F.pmod(F.coalesce(F.col("_ck"), F.lit(0)), F.lit(4294967296)),
+            ).alias("token"),
+        )
+    )
+
+
+def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) -> CrawlState:
     """Persist one round's state; the `.done` marker commits it atomically
     (parquet dirs are written before the marker exists).  The task-tracker
     lease/reassign loop (tasks.py:93-112, max_assign_time) collapses into
-    this: an interrupted round simply re-runs from the last marker."""
+    this: an interrupted round simply re-runs from the last marker.
+
+    Alongside the state, writes per-partition lineage manifests (which
+    partitions contributed how many rows, with content-derived tokens) and an
+    optional metrics row — the north rule's lineage + metrics contract.
+    """
     rd = os.path.join(ckpt_dir, f"round_{state.round_no:05d}")
     state.frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
     state.seen.write.mode("overwrite").parquet(os.path.join(rd, "seen"))
     spark = state.frontier.sparkSession
+    lineage = _lineage_manifest(state.frontier, state.round_no, "frontier").unionByName(
+        _lineage_manifest(state.seen, state.round_no, "seen")
+    )
+    lineage.write.mode("overwrite").parquet(os.path.join(rd, "lineage"))
     spark.createDataFrame(
         [(state.round_no, state.next_seq)], "round_no int, next_seq long"
     ).write.mode("overwrite").parquet(os.path.join(rd, "meta"))
+    if metrics is not None:
+        spark.createDataFrame(
+            [tuple([state.round_no] + [float(metrics.get(k, 0.0)) for k in sorted(metrics)])],
+            ", ".join(["round_no int"] + [f"`{k}` double" for k in sorted(metrics)]),
+        ).write.mode("overwrite").parquet(os.path.join(rd, "metrics"))
     with open(os.path.join(rd, ".done"), "w") as f:
         f.write("ok")
     # reload from disk so downstream plans read the compact files instead of

@@ -805,6 +805,148 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket ORDER BY b
 """
 
 
+def q_token_count(spark, sf_dir):
+    """Token counting two ways (training-data pipeline op): whitespace split
+    vs a BPE-ish greedy-chunk regex, aggregated per lang."""
+    d = t(spark, sf_dir, "documents")
+    ws = F.size(F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != ""))
+    bpe = F.size(F.regexp_extract_all(F.col("text"), F.lit(r"[a-z]{1,4}|[0-9]+|[^a-z0-9\s]"), 0))
+    return (
+        d.groupBy("lang")
+        .agg(
+            F.sum(ws.cast("long")).alias("ws_tokens"),
+            F.sum(bpe.cast("long")).alias("bpe_tokens"),
+            F.count("*").alias("docs"),
+        )
+        .orderBy("lang")
+    )
+
+
+SQL_TOKEN_COUNT = r"""
+SELECT lang,
+  CAST(sum(len(list_filter(string_split_regex(text, '\s+'), w -> w <> ''))) AS BIGINT) AS ws_tokens,
+  CAST(sum(len(regexp_extract_all(text, '[a-z]{1,4}|[0-9]+|[^a-z0-9\s]'))) AS BIGINT) AS bpe_tokens,
+  CAST(count(*) AS BIGINT) AS docs
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+ROLL_B = 131
+ROLL_P = 2147483647
+
+
+def q_rolling_fingerprint(spark, sf_dir):
+    """Document fingerprinting via a polynomial rolling hash over word codes
+    (Rabin-Karp shape): fp = fold(words, h*B + code mod P).  Duplicate
+    fingerprints = dedup candidates; output is the fingerprint histogram head."""
+    d = t(spark, sf_dir, "documents")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    codes = F.transform(
+        words, lambda w: F.conv(F.substring(F.md5(w), 1, 7), 16, 10).cast("long")
+    )
+    fp = F.aggregate(
+        codes,
+        F.lit(0).cast("long"),
+        lambda acc, c: (acc * F.lit(ROLL_B) + c) % F.lit(ROLL_P),
+    )
+    return (
+        d.select("doc_id", fp.alias("fingerprint"))
+        .orderBy("doc_id")
+        .limit(200)
+    )
+
+
+SQL_ROLLING_FINGERPRINT = f"""
+SELECT doc_id,
+  list_reduce(
+    list_prepend(CAST(0 AS BIGINT),
+      list_transform(list_filter(string_split_regex(text, '\\s+'), w -> w <> ''),
+                     w -> CAST(('0x' || substr(md5(w), 1, 7)) AS BIGINT))),
+    (acc, c) -> (acc * {ROLL_B} + c) % {ROLL_P}) AS fingerprint
+FROM documents ORDER BY doc_id LIMIT 200
+"""
+
+
+def _ann_bucket_col(emb):
+    bits = []
+    for i, plane in enumerate(ANN_PLANES):
+        dot = F.aggregate(
+            F.zip_with(
+                emb,
+                F.array(*[F.lit(float(w)) for w in plane]),
+                lambda x, y: x.cast("double") * y,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
+    out = bits[0]
+    for b in bits[1:]:
+        out = out + b
+    return out
+
+
+def q_embedding_bucket_search(spark, sf_dir):
+    """ANN query through the LSH index: compute the query vector's sign
+    bucket, then brute-force cosine only inside that bucket (top 5) — the
+    scale path where the full corpus is never scanned per query."""
+    e = t(spark, sf_dir, "embeddings")
+    b = e.select("vec_id", _ann_bucket_col(F.col("embedding")).alias("bucket"), "embedding")
+    q = b.filter(F.col("vec_id") == 0).select(
+        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
+    )
+    cands = b.filter(F.col("vec_id") != 0).join(
+        F.broadcast(q), on=F.col("bucket") == F.col("qb"), how="inner"
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+def _sql_embedding_bucket_search() -> str:
+    def dot_sql(plane):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(ANN_PLANES)
+    )
+    return f"""
+WITH b AS (SELECT vec_id, ({bits}) AS bucket, embedding FROM embeddings),
+q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS c
+  FROM b, q WHERE bucket = qb AND vec_id <> 0)
+SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -833,4 +975,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
+    "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
+    "token_count": (q_token_count, SQL_TOKEN_COUNT),
+    "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
 }

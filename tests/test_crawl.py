@@ -185,3 +185,28 @@ def test_bloom_no_false_negatives(spark):
     bloom = seen_ops.PartitionedBloom.build(seen_df, n_parts=16)
     keys = np.array([r["url_hash"] for r in seen_df.collect()], dtype=np.int64)
     assert bloom.probe_np(keys).all()  # every member must report maybe-seen
+
+
+def test_checkpoint_writes_lineage_and_metrics(spark, world_dfs):
+    import os
+
+    ckpt = tempfile.mkdtemp(prefix="oddb_lineage_")
+    try:
+        pages, robots, blacklist = world_dfs
+        seeds = world.gen_seeds(spark, N_HOSTS)
+        empty = spark.createDataFrame([], schema.SEEN)
+        accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+        state = fr.initial_state(accepted)
+        state, fetched, _ = fr.expand_round(state, pages, robots)
+        state = fr.checkpoint(state, ckpt, metrics={"urls_fetched": fetched.count(), "round_sec": 1.5})
+        rd = os.path.join(ckpt, f"round_{state.round_no:05d}")
+        lineage = spark.read.parquet(os.path.join(rd, "lineage"))
+        rows = lineage.collect()
+        assert {r["table"] for r in rows} == {"frontier", "seen"}
+        seen_total = sum(r["rows"] for r in rows if r["table"] == "seen")
+        assert seen_total == state.seen.count()
+        assert all(r["token"].startswith((r["table"],)) for r in rows)
+        metrics = spark.read.parquet(os.path.join(rd, "metrics")).collect()[0]
+        assert metrics["urls_fetched"] == fetched.count()
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
