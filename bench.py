@@ -77,7 +77,11 @@ def run_crawl(spark, n_hosts: int) -> dict:
 
     t0 = time.time()
     accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
-    state = fr.initial_state(accepted)
+    state = fr.initial_state(
+        accepted,
+        use_bloom=os.environ.get("ODDB_BENCH_BLOOM", "1") == "1",
+        expected_total_urls=max(n_pages * 2, 10_000),
+    )
     urls_fetched = 0
     image_url_dfs = []
     rounds = 0

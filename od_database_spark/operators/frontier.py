@@ -181,18 +181,33 @@ def submit_seeds(
 
 @dataclass
 class CrawlState:
-    """One round's complete state — everything needed to resume."""
+    """One round's complete state — everything needed to resume.
+
+    ``bloom`` is the incrementally-maintained seen-set prefilter (north rule:
+    partitioned bloom checked via vectorized Arrow UDFs).  It is an
+    accelerator only — correctness always comes from the exact anti-join —
+    so it is NOT checkpointed; a resume rebuilds it from the seen table
+    (PartitionedBloom.build) or runs without it."""
 
     round_no: int
     frontier: DataFrame  # schema.FRONTIER
     seen: DataFrame  # schema.SEEN
     next_seq: int
+    bloom: "seen_ops.PartitionedBloom | None" = None
 
 
-def initial_state(accepted: DataFrame) -> CrawlState:
+def initial_state(
+    accepted: DataFrame,
+    use_bloom: bool = False,
+    expected_total_urls: int = 1_000_000,
+    bloom_parts: int = 64,
+) -> CrawlState:
     """Round-0 state from accepted submissions: every accepted root enters the
     frontier (depth 0) and the seen set, ordered by (priority DESC, submit
-    FIFO) exactly like the task tracker queue."""
+    FIFO) exactly like the task tracker queue.
+
+    ``use_bloom`` sizes a partitioned bloom for ``expected_total_urls`` and
+    maintains it incrementally across rounds (delta build + bitwise OR)."""
     ordered = packed_seq(
         accepted.select(
             "url", "url_hash", "website_id", "host", "priority",
@@ -206,7 +221,15 @@ def initial_state(accepted: DataFrame) -> CrawlState:
         F.col("priority").cast("int"), F.col("depth").cast("int"), "discovery_seq",
     )
     seen = frontier.select("url", "url_hash")
-    return CrawlState(round_no=0, frontier=frontier, seen=seen, next_seq=0)
+    state = CrawlState(round_no=0, frontier=frontier, seen=seen, next_seq=0)
+    if use_bloom:
+        geom = seen_ops.PartitionedBloom.params_for(
+            max(expected_total_urls, 1), bloom_parts
+        )
+        state.bloom = seen_ops.PartitionedBloom.build(
+            seen, n_parts=bloom_parts, geometry=geom
+        )
+    return state
 
 
 def politeness_rank(frontier: DataFrame, robots: DataFrame, round_seconds: int = ROUND_SECONDS) -> DataFrame:
@@ -327,7 +350,9 @@ def expand_round(
     new_urls = new_urls.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     new_urls = new_urls.withColumnRenamed("url", "canon_url")
-    unseen = seen_ops.filter_unseen(new_urls, state.seen).withColumnRenamed("canon_url", "url")
+    unseen = seen_ops.filter_unseen(new_urls, state.seen, state.bloom).withColumnRenamed(
+        "canon_url", "url"
+    )
 
     numbered = packed_seq(
         unseen,
@@ -361,11 +386,24 @@ def expand_round(
     ranked.unpersist()
     new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
 
+    bloom = state.bloom
+    if bloom is not None:
+        # incremental maintenance: delta bloom over this round's NEW urls
+        # only, OR'd into the running filter — the full seen set is never
+        # rescanned
+        delta = seen_ops.PartitionedBloom.build(
+            numbered.select("url", "url_hash"),
+            n_parts=bloom.n_parts,
+            geometry=(bloom.bits_per_part, bloom.k),
+        )
+        bloom.union_update(delta)
+
     next_state = CrawlState(
         round_no=state.round_no + 1,
         frontier=next_frontier,
         seen=new_seen,
         next_seq=0,  # packed seqs embed the round; no global counter needed
+        bloom=bloom,
     )
     return next_state, fetched, image_urls
 

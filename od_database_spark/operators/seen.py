@@ -72,14 +72,33 @@ class PartitionedBloom:
             pos = (h1[:, None] + i * h2[:, None]) & np.uint64(m_bits - 1)
         return pos  # shape (n, k)
 
+    def union_update(self, delta: "PartitionedBloom") -> None:
+        """OR a delta bloom (same geometry) into this one — the incremental
+        maintenance path: per round, build a bloom over the NEW urls only and
+        fold it in, never rescanning the full seen set."""
+        assert (self.n_parts, self.bits_per_part, self.k) == (
+            delta.n_parts, delta.bits_per_part, delta.k,
+        ), "bloom geometries differ"
+        for part, bits in delta.bitsets.items():
+            if part in self.bitsets:
+                self.bitsets[part] = np.bitwise_or(self.bitsets[part], bits)
+            else:
+                self.bitsets[part] = bits
+
     @classmethod
     def build(cls, seen: DataFrame, n_parts: int = 64, fpp: float = 0.01,
-              expected_keys: int | None = None) -> "PartitionedBloom":
+              expected_keys: int | None = None,
+              geometry: tuple[int, int] | None = None) -> "PartitionedBloom":
         """Distributed build: one bitset per hash partition via applyInPandas,
-        then the (small) bitset rows come back to the driver for broadcast."""
-        if expected_keys is None:
-            expected_keys = seen.count()
-        m_bits, k = cls.params_for(max(expected_keys, 1), n_parts, fpp)
+        then the (small) bitset rows come back to the driver for broadcast.
+        Pass ``geometry=(m_bits, k)`` to build a delta compatible with an
+        existing bloom (for union_update)."""
+        if geometry is not None:
+            m_bits, k = geometry
+        else:
+            if expected_keys is None:
+                expected_keys = seen.count()
+            m_bits, k = cls.params_for(max(expected_keys, 1), n_parts, fpp)
 
         def build_part(pdf: pd.DataFrame) -> pd.DataFrame:
             bits = np.zeros(m_bits // 8, dtype=np.uint8)

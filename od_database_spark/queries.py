@@ -682,18 +682,27 @@ def q_ngram_jaccard(spark, sf_dir):
         "doc_id", "lang",
         F.floor(F.col("n_chars") / 64).cast("long").alias("lb"),
         shingles.alias("sh"),
-    )
-    a, b = s.alias("a"), s.alias("b")
-    pairs = (
-        a.join(b, on=["lang", "lb"])
+    ).localCheckpoint(eager=False)
+    # scale shape: explode the shingles once and count matches per pair via
+    # aggregation — the join carries only (key, doc_id), never the arrays,
+    # and |A∩B| comes from a groupBy instead of per-pair array intersection
+    sizes = s.select("doc_id", F.size("sh").alias("n_sh"))
+    ex = s.select("doc_id", "lang", "lb", F.explode("sh").alias("shingle"))
+    a, b = ex.alias("a"), ex.alias("b")
+    inter = (
+        a.join(b, on=["lang", "lb", "shingle"])
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    pairs = (
+        inter.join(sa, on="doc_a").join(sb, on="doc_b")
         .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
+            "doc_a", "doc_b",
             F.round(
-                F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
-                / F.size(F.array_union(F.col("a.sh"), F.col("b.sh"))),
-                4,
+                F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
             ).alias("jaccard"),
         )
         .filter(F.col("jaccard") >= 0.2)

@@ -210,3 +210,30 @@ def test_checkpoint_writes_lineage_and_metrics(spark, world_dfs):
         assert metrics["urls_fetched"] == fetched.count()
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_bloom_crawl_equals_exact_crawl(spark, world_dfs):
+    """Crawl with the incrementally-maintained bloom prefilter must produce
+    the exact same seen set and fetch order as the exact-only crawl."""
+    pages, robots, blacklist = world_dfs
+    seeds = world.gen_seeds(spark, N_HOSTS)
+    empty = spark.createDataFrame([], schema.SEEN)
+    accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+    state = fr.initial_state(accepted, use_bloom=True, expected_total_urls=5000, bloom_parts=8)
+    fetched_all = []
+    for _ in range(MAX_ROUNDS):
+        if state.frontier.count() == 0:
+            break
+        state, fetched, _ = fr.expand_round(state, pages, robots)
+        fetched_all.append(fetched.select("url", "discovery_seq", "priority").collect())
+    assert state.bloom is not None and state.bloom.bitsets
+    base = run_spark(spark, world_dfs)
+    seen_bloom = {r["url"] for r in state.seen.collect()}
+    seen_base = {r["url"] for r in base[1].seen.collect()}
+    assert seen_bloom == seen_base
+    flat = lambda fs: [
+        r["url"]
+        for rows in fs
+        for r in sorted(rows, key=lambda r: (-r["priority"], r["discovery_seq"]))
+    ]
+    assert flat(fetched_all) == flat(base[2])
