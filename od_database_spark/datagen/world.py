@@ -204,11 +204,15 @@ def seed_urls(n_hosts: int) -> list[str]:
         elif k == 1:
             seeds.append(root[:-1])  # missing trailing slash → canonical dup
         elif k == 2:
-            seeds.append(root + "media0/")  # child of a submitted root: prefix dup
+            seeds.append(root + "media0/")  # nonexistent child: prefix-dup path
         elif k == 3:
             seeds.append(root + "#frag")  # fragment → dup
         elif k == 4:
             seeds.append("not a url " + str(i))  # invalid
+        elif k == 5:
+            subs = _subdir_names(i, "/")
+            if subs:  # REAL child: get_top_directory climbs it back to root
+                seeds.append(root + subs[0] + "/")
     return seeds
 
 

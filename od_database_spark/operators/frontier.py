@@ -166,6 +166,9 @@ def submit_seeds(
     an artifact of Postgres, X9 note in SURVEY.md).
     """
     cand = with_canonical(seeds, "url")
+    # get_top_directory climb happens BEFORE validity/dedup, like the
+    # reference's try_enqueue (views.py:270-271)
+    cand = seen_ops.climb_to_top(cand, pages)
     chained = seen_ops.submit_chain(cand, websites, blacklist, pages)
     resolved = resolve_intra_batch(chained)
     return resolved.select(

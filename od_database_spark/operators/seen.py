@@ -257,6 +257,71 @@ def filter_is_od(candidates: DataFrame, pages: DataFrame) -> DataFrame:
     )
 
 
+def climb_to_top(candidates: DataFrame, pages: DataFrame) -> DataFrame:
+    """get_top_directory fixpoint (od_util.py:216-248, views.py:270-271):
+    climb '../' while the parent page exists, is an OD (threshold check), and
+    links back to the child directory; ftp URLs never climb.
+
+    One DataFrame pass per level, at most MAX-DEPTH passes (reference URLs
+    are shallow directory roots).  ``candidates`` must carry ``canon_url``;
+    the column is REPLACED by the top directory."""
+    external = F.size(
+        F.filter(
+            F.col("links"),
+            lambda l: ~F.when(l.rlike(r"^[a-z]+://"), l)
+            .otherwise(F.concat(F.col("url"), l))
+            .contains(F.col("url")),
+        )
+    )
+    page_ok = pages.select(
+        F.col("url").alias("_parent_url"),
+        F.col("links").alias("_parent_links"),
+        (
+            ~F.col("redirects")
+            & (F.col("link_tag_count") <= 5)
+            & (F.col("script_tag_count") <= 7)
+            & (external <= 11)
+        ).alias("_parent_tags_ok"),
+    )
+    out = candidates
+    # depth is bounded; loop until no row climbs (checked via count)
+    for _ in range(16):
+        path = F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", "")
+        # careful: matching on the whole URL would grab the hostname at the
+        # site root — extract the child segment from the PATH only
+        child_name = F.regexp_extract(path, r"([^/]+/)$", 1)
+        parent = F.when(
+            child_name != "", F.regexp_replace(F.col("canon_url"), r"[^/]+/$", "")
+        ).otherwise(F.col("canon_url"))
+        stepped = (
+            out.withColumn("_parent", parent)
+            .withColumn("_child", child_name)
+            .join(page_ok, on=F.col("_parent") == F.col("_parent_url"), how="left")
+        )
+        can_climb = (
+            (F.col("_child") != "")  # path == "/" → already at the root
+            & ~F.col("canon_url").startswith("ftp://")
+            & F.col("_parent_url").isNotNull()
+            & F.col("_parent_tags_ok")
+            & F.array_contains(F.coalesce(F.col("_parent_links"), F.array()), F.col("_child"))
+        )
+        stepped = stepped.withColumn("_climbs", can_climb)
+        n_climb = stepped.filter(F.col("_climbs")).limit(1).count()
+        out = stepped.withColumn(
+            "canon_url", F.when(F.col("_climbs"), F.col("_parent")).otherwise(F.col("canon_url"))
+        ).drop("_parent", "_child", "_parent_url", "_parent_links", "_parent_tags_ok", "_climbs")
+        if n_climb == 0:
+            break
+    # the climb changed canon_url for some rows — refresh the derived keys
+    return (
+        out.withColumn("url_hash", F.xxhash64("canon_url"))
+        .withColumn(
+            "depth",
+            F.size(F.filter(F.split(F.regexp_replace("canon_url", r"^[a-z]+://[^/]+", ""), "/"), lambda s: s != "")),
+        )
+    )
+
+
 def submit_chain(
     candidates: DataFrame,
     seen_roots: DataFrame,

@@ -52,6 +52,28 @@ class Oracle:
             return False
         return True
 
+    def _has_parent_dir(self, url: str) -> bool:
+        """od_util.py:216-240: parent exists, links back to the child, and
+        passes is_od."""
+        path = re.sub(r"^[a-z]+://[^/]+", "", url)
+        if path == "/" or url.startswith("ftp://"):
+            return False
+        m = re.search(r"([^/]+/)$", path)
+        child = m.group(1) if m else ""
+        parent = re.sub(r"[^/]+/$", "", url)
+        page = self.pages.get(parent)
+        if page is None or not child:
+            return False
+        if child not in page["links"]:
+            return False
+        return self._is_od(parent)
+
+    def get_top_directory(self, url: str) -> str:
+        """od_util.py:242-248 fixpoint."""
+        while self._has_parent_dir(url):
+            url = re.sub(r"[^/]+/$", "", url)
+        return url
+
     def submit(self, raw_urls: list[tuple[str, int, int]]) -> list[str]:
         """raw_urls: (url, submit_seq, priority) in submission order."""
         accepted = []
@@ -59,7 +81,7 @@ class Oracle:
             c = urlpure.canonicalize(url)
             if not c["valid"]:
                 continue
-            canon = c["url"]
+            canon = self.get_top_directory(c["url"])
             if canon in self.websites:
                 continue  # exact dup (database.py:78-90)
             if any(
