@@ -478,16 +478,32 @@ def latest_round(ckpt_dir: str) -> int | None:
     return max(rounds) if rounds else None
 
 
-def load_checkpoint(spark: SparkSession, ckpt_dir: str, round_no: int | None = None) -> CrawlState:
+def load_checkpoint(
+    spark: SparkSession,
+    ckpt_dir: str,
+    round_no: int | None = None,
+    use_bloom: bool = False,
+    expected_total_urls: int = 1_000_000,
+    bloom_parts: int = 64,
+) -> CrawlState:
     if round_no is None:
         round_no = latest_round(ckpt_dir)
         if round_no is None:
             raise FileNotFoundError(f"no completed round under {ckpt_dir}")
     rd = os.path.join(ckpt_dir, f"round_{round_no:05d}")
     meta = spark.read.parquet(os.path.join(rd, "meta")).collect()[0]
-    return CrawlState(
+    state = CrawlState(
         round_no=meta["round_no"],
         frontier=spark.read.schema(schema.FRONTIER).parquet(os.path.join(rd, "frontier")),
         seen=spark.read.schema(schema.SEEN).parquet(os.path.join(rd, "seen")),
         next_seq=meta["next_seq"],
     )
+    if use_bloom:
+        # the bloom is derived state — rebuild from the durable seen table
+        geom = seen_ops.PartitionedBloom.params_for(
+            max(expected_total_urls, 1), bloom_parts
+        )
+        state.bloom = seen_ops.PartitionedBloom.build(
+            state.seen, n_parts=bloom_parts, geometry=geom
+        )
+    return state

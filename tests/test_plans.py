@@ -4,15 +4,13 @@ must not silently disappear."""
 
 import pytest
 
+from od_database_spark.plans import explain as PL
 from od_database_spark.queries import REGISTRY
 
 
 def plan_of(spark, sf_dir, name) -> str:
     fn, _ = REGISTRY[name]
-    df = fn(spark, sf_dir)
-    return df._sc._jvm.PythonSQLUtils.explainString(
-        df._jdf.queryExecution(), "formatted"
-    )
+    return PL.plan_string(fn(spark, sf_dir))
 
 
 def test_filtered_search_pushdown(spark, sf_dir):
@@ -44,3 +42,15 @@ def test_topk_early_termination(spark, sf_dir):
 def test_scan_schema_pruned(spark, sf_dir):
     plan = plan_of(spark, sf_dir, "ext_breakdown")
     assert "ReadSchema: struct<lang:string,n_chars:bigint>" in plan
+
+
+def test_plan_helpers(spark, sf_dir):
+    fn, _ = REGISTRY["join_deleted_default"]
+    df = fn(spark, sf_dir)
+    assert PL.join_strategies(df) == ["BroadcastHashJoin"]
+    fn2, _ = REGISTRY["ext_breakdown"]
+    df2 = fn2(spark, sf_dir)
+    assert PL.has_partial_aggregation(df2)
+    assert PL.exchange_count(df2) >= 1
+    fn3, _ = REGISTRY["filtered_search"]
+    assert PL.pushed_filters(fn3(spark, sf_dir))
