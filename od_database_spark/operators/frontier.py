@@ -241,6 +241,8 @@ def politeness_rank(frontier: DataFrame, robots: DataFrame, round_seconds: int =
     budget (C5+C9).  Unselected rows carry over to the next round.
 
     Returns the frontier with ``_rank`` and ``_budget`` columns attached.
+    (Simple exact form — the skew-safe two-phase variant used by
+    expand_round is ``politeness_select``.)
     """
     budgeted = frontier.join(F.broadcast(robots.select("host", "crawl_delay")), on="host", how="left")
     budgeted = budgeted.withColumn(
@@ -249,6 +251,53 @@ def politeness_rank(frontier: DataFrame, robots: DataFrame, round_seconds: int =
     ).drop("crawl_delay")
     w = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("discovery_seq"))
     return budgeted.withColumn("_rank", F.row_number().over(w))
+
+
+def politeness_select(
+    frontier: DataFrame,
+    robots: DataFrame,
+    round_seconds: int = ROUND_SECONDS,
+    skew_salt: int = 16,
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """Two-phase skew-safe politeness selection → (due, carry).
+
+    Phase 1 ranks within (host, salt-of-url_hash) buckets and keeps only each
+    bucket's top-budget rows: any row in a host's GLOBAL top-budget has fewer
+    than budget rows ahead of it overall, hence fewer than budget ahead of it
+    in its own bucket — so the global winners always survive the pre-prune.
+    Phase 2 ranks the survivors (≤ salt×budget rows per host, bounded no
+    matter how big the host) exactly.  Pre-pruned rows are carry, not loss.
+
+    Phase 1 is materialized (localCheckpoint) so the expensive window over
+    the full frontier runs exactly once per round; the caller must unpersist
+    the returned ``due``'s parent when done (expand_round does).
+    """
+    budgeted = frontier.join(
+        F.broadcast(robots.select("host", "crawl_delay")), on="host", how="left"
+    ).withColumn(
+        "_budget",
+        F.floor(F.lit(round_seconds) / F.coalesce(F.col("crawl_delay"), F.lit(1.0))).cast("int"),
+    ).drop("crawl_delay")
+    salt = F.pmod(F.col("url_hash"), F.lit(skew_salt))
+    w1 = Window.partitionBy("host", "_salt").orderBy(
+        F.desc("priority"), F.asc("discovery_seq")
+    )
+    stage1 = (
+        budgeted.withColumn("_salt", salt)
+        .withColumn("_r1", F.row_number().over(w1))
+        .localCheckpoint(eager=True)
+    )
+    pre_carry = stage1.filter(F.col("_r1") > F.col("_budget")).drop("_salt", "_r1", "_budget")
+    cand = stage1.filter(F.col("_r1") <= F.col("_budget"))
+    w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("discovery_seq"))
+    ranked = cand.withColumn("_rank", F.row_number().over(w2))
+    due = ranked.filter(F.col("_rank") <= F.col("_budget")).drop(
+        "_salt", "_r1", "_rank", "_budget"
+    )
+    late = ranked.filter(F.col("_rank") > F.col("_budget")).drop(
+        "_salt", "_r1", "_rank", "_budget"
+    )
+    return due, pre_carry.unionByName(late), stage1
 
 
 def _resolve_child(parent: F.Column, link: F.Column) -> F.Column:
@@ -280,21 +329,16 @@ def expand_round(
        image-extension files → image fetch set
     5. enqueue-time dedup: anti-join vs seen; assign dense discovery_seq
     """
-    # one materialization of the politeness window per round — everything
-    # downstream (due, carry, fetched, children, bench counts) branches off
-    # this, so without the cut the window would re-execute per consumer
-    ranked = politeness_rank(state.frontier, robots, round_seconds).localCheckpoint(
-        eager=True
-    )
-    # the old frontier's blocks are dead once the rank is materialized —
+    # two-phase skew-safe selection; stage1 (the materialized pre-rank over
+    # the full frontier) is unpersisted at the end of the round
+    due, carry, stage1 = politeness_select(state.frontier, robots, round_seconds)
+    # the old frontier's blocks are dead once stage1 is materialized —
     # without this, every round's checkpoint piles up in the block store and
     # later rounds slow down on GC/eviction pressure
     try:
         state.frontier.unpersist()
     except Exception:
         pass
-    due = ranked.filter(F.col("_rank") <= F.col("_budget"))
-    carry = ranked.filter(F.col("_rank") > F.col("_budget")).drop("_rank", "_budget")
 
     # robots disallow: path prefix match against the host's disallow list
     due = due.join(
@@ -305,7 +349,7 @@ def expand_round(
         F.coalesce(F.col("disallow_prefixes"), F.array()),
         lambda p: path.startswith(p),
     )
-    fetchable = due.filter(~disallowed).drop("disallow_prefixes", "_rank", "_budget")
+    fetchable = due.filter(~disallowed).drop("disallow_prefixes")
 
     fetched = fetchable.join(
         pages.select(
@@ -386,7 +430,7 @@ def expand_round(
     # depend on it
     fetched = fetched.localCheckpoint(eager=True)
     image_urls = image_urls.localCheckpoint(eager=True)
-    ranked.unpersist()
+    stage1.unpersist()
     new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
 
     bloom = state.bloom
