@@ -1,0 +1,105 @@
+"""Top-level crawl driver: the engine's equivalent of the reference's
+main loop (task submission → crawler fleet → indexer threads,
+views.py/tasks.py) as one resumable batch pipeline.
+
+    from od_database_spark import crawl
+    result = crawl.run(spark, seeds_df, pages, robots, blacklist,
+                       ckpt_dir="/data/ckpt")
+
+Each round is checkpointed (frontier/seen parquet + lineage manifests +
+metrics) before the next begins, so a killed run resumes exactly where it
+stopped (``resume=True``).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+from . import schema
+from .operators import fetch as fetch_ops
+from .operators import frontier as fr
+
+
+@dataclass
+class CrawlResult:
+    state: fr.CrawlState
+    rounds: int
+    urls_fetched: int
+    images: DataFrame | None
+    fetched_pages: list[DataFrame] = field(default_factory=list)
+    image_urls: list[DataFrame] = field(default_factory=list)
+
+
+def run(
+    spark: SparkSession,
+    seeds: DataFrame,
+    pages: DataFrame,
+    robots: DataFrame,
+    blacklist: DataFrame,
+    ckpt_dir: str | None = None,
+    resume: bool = False,
+    max_rounds: int = 100,
+    round_seconds: int = fr.ROUND_SECONDS,
+    use_bloom: bool = True,
+    expected_total_urls: int = 1_000_000,
+    fetch: bool = True,
+) -> CrawlResult:
+    """Submit the seed list (full dedup chain), run BFS rounds under the
+    politeness budget until the frontier drains, then fetch+decode the
+    discovered images.  Returns lazy DataFrames; nothing is collected."""
+    if resume and ckpt_dir is not None and fr.latest_round(ckpt_dir) is not None:
+        state = fr.load_checkpoint(
+            spark, ckpt_dir, use_bloom=use_bloom, expected_total_urls=expected_total_urls
+        )
+    else:
+        empty = spark.createDataFrame([], schema.SEEN)
+        accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+        state = fr.initial_state(
+            accepted, use_bloom=use_bloom, expected_total_urls=expected_total_urls
+        )
+
+    urls_fetched = 0
+    fetched_pages: list[DataFrame] = []
+    image_urls: list[DataFrame] = []
+    rounds = 0
+    while rounds < max_rounds:
+        if state.frontier.count() == 0:
+            break
+        t0 = time.time()
+        state, fetched, images = fr.expand_round(state, pages, robots, round_seconds)
+        n_fetched = fetched.count()
+        urls_fetched += n_fetched
+        fetched_pages.append(fetched)
+        image_urls.append(images)
+        rounds += 1
+        if ckpt_dir is not None:
+            bloom = state.bloom  # checkpoint() reloads from parquet (no bloom)
+            state = fr.checkpoint(
+                state,
+                ckpt_dir,
+                metrics={
+                    "urls_fetched": n_fetched,
+                    "round_sec": time.time() - t0,
+                    "images_found": images.count(),
+                },
+            )
+            state.bloom = bloom  # carry the in-memory filter across the reload
+
+    images_df = None
+    if fetch and image_urls:
+        all_images = image_urls[0]
+        for df in image_urls[1:]:
+            all_images = all_images.unionByName(df)
+        images_df = fetch_ops.fetch_images(all_images)
+
+    return CrawlResult(
+        state=state,
+        rounds=rounds,
+        urls_fetched=urls_fetched,
+        images=images_df,
+        fetched_pages=fetched_pages,
+        image_urls=image_urls,
+    )
