@@ -45,21 +45,21 @@ def _word_shingles(text: Column, k: int = 3) -> Column:
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """8 minhash values per document over word-3-gram shingles."""
-    hashed = F.transform(
-        _word_shingles(F.col(text_col)),
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    # hash each DISTINCT shingle once (vocabulary << occurrences in web-scale
+    # text) and join the codes back before the per-doc min aggregation
+    ex = df.select(F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle"))
+    vocab = ex.select("shingle").distinct().withColumn(
+        "_h", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
     )
-    # separate projection so the md5 chain evaluates once, not once per mh
-    cols = [
-        F.array_min(
-            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(zip(MH_A, MH_B))
-    ]
     return (
-        df.select(F.col(id_col), hashed.alias("_h"))
-        .select(F.col(id_col), *cols)
-        .filter(F.col("mh0").isNotNull())
+        ex.join(vocab, on="shingle")
+        .groupBy(id_col)
+        .agg(
+            *[
+                F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MH_P)).alias(f"mh{j}")
+                for j, (a, b) in enumerate(zip(MH_A, MH_B))
+            ]
+        )
     )
 
 

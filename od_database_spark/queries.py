@@ -591,23 +591,19 @@ def q_minhash_lsh(spark, sf_dir):
         F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
         lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
     )
-    hashed = F.transform(
-        shingles,
-        lambda s: F.conv(F.substring(F.md5(s), 1, 12), 16, 10).cast("long"),
+    # the shingle vocabulary is far smaller than total shingle occurrences,
+    # so hash each DISTINCT shingle once and join the codes back, then take
+    # per-doc minima — md5 work drops from O(occurrences) to O(vocabulary)
+    ex = d.select("doc_id", F.explode(shingles).alias("shingle"))
+    vocab = ex.select("shingle").distinct().withColumn(
+        "_h", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
     )
-    # materialize the md5-derived shingle hashes ONCE (separate projection),
-    # then derive the 8 minhashes from the column — otherwise each mh column
-    # re-evaluates the md5 chain
-    mh_cols = [
-        F.array_min(
-            F.transform(F.col("_h"), lambda h: (F.lit(a) * h + F.lit(b)) % F.lit(MH_P))
-        ).alias(f"mh{j}")
-        for j, (a, b) in enumerate(zip(MH_A, MH_B))
-    ]
-    sigs = (
-        d.select("doc_id", hashed.alias("_h"))
-        .select("doc_id", *mh_cols)
-        .filter(F.col("mh0").isNotNull())
+    coded = ex.join(vocab, on="shingle")
+    sigs = coded.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(a) * F.col("_h") + F.lit(b)) % F.lit(MH_P)).alias(f"mh{j}")
+            for j, (a, b) in enumerate(zip(MH_A, MH_B))
+        ]
     )
     bands = sigs.select(
         "doc_id",
