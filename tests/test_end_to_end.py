@@ -28,9 +28,6 @@ def pipeline(spark):
         files = part if files is None else files.unionByName(part)
     files = files.cache()
     files.count()
-    websites = (
-        result.state.seen.limit(0)  # placeholder; real dim from accepted roots
-    )
     return result, files
 
 
