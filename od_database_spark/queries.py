@@ -553,14 +553,41 @@ FROM s GROUP BY lang ORDER BY lang
 """
 
 
+# character-trigram profiles for the lang-ID heuristic (deterministic; the
+# standard n-gram-profile method, tiny profile per language)
+LANG_PROFILES = {
+    "en": ["the", "ing", " a "],
+    "es": ["que", "ión", " de"],
+    "de": ["der", "sch", "ein"],
+    "fr": ["les", "ent", " le"],
+    "zh": ["zh ", " zh", "ang"],
+}
+
+
 def q_lang_id(spark, sf_dir):
-    """Language-ID heuristic (deterministic stopword scoring) + confusion
-    counts vs the labeled lang."""
+    """Language-ID via character-n-gram profile scoring: count occurrences of
+    each language's characteristic trigrams, pick the argmax (alphabetical
+    tie-break, 'xx' when nothing matches); output is the confusion table vs
+    the labeled lang."""
     d = t(spark, sf_dir, "documents")
-    words = F.split(F.col("text"), " ")
-    score_en = F.size(F.filter(words, lambda w: w.isin("the", "a")))
-    score_other = F.size(F.filter(words, lambda w: w.isin("data", "table")))
-    pred = F.when(score_en > score_other, "en").otherwise("xx")
+
+    def occurrences(tg: str):
+        # F.replace is LITERAL (matches DuckDB's replace); regexp_replace
+        # would treat the trigram as a pattern
+        return (
+            F.length(F.col("text"))
+            - F.length(F.replace(F.col("text"), F.lit(tg), F.lit("")))
+        ) / len(tg)
+
+    scores = {
+        lang: sum((occurrences(tg) for tg in tgs), F.lit(0.0))
+        for lang, tgs in LANG_PROFILES.items()
+    }
+    langs = sorted(LANG_PROFILES)
+    best = F.greatest(*[scores[lang] for lang in langs])
+    pred = F.when(best <= 0, F.lit("xx"))
+    for lang in langs:  # alphabetical order = deterministic tie-break
+        pred = pred.when(scores[lang] == best, F.lit(lang))
     return (
         d.select("lang", pred.alias("pred"))
         .groupBy("lang", "pred")
@@ -569,16 +596,28 @@ def q_lang_id(spark, sf_dir):
     )
 
 
-SQL_LANG_ID = """
-WITH s AS (
-  SELECT lang,
-    CASE WHEN len(list_filter(string_split(text,' '), w -> w IN ('the','a')))
-            > len(list_filter(string_split(text,' '), w -> w IN ('data','table')))
-         THEN 'en' ELSE 'xx' END AS pred
-  FROM documents)
+def _sql_lang_id() -> str:
+    def occ(tg: str) -> str:
+        esc = tg.replace("'", "''")
+        return f"((length(text) - length(replace(text, '{esc}', ''))) / {len(tg)}.0)"
+
+    langs = sorted(LANG_PROFILES)
+    score = {
+        lang: " + ".join(occ(tg) for tg in LANG_PROFILES[lang]) for lang in langs
+    }
+    best = "greatest(" + ", ".join(f"({score[lang]})" for lang in langs) + ")"
+    case = "CASE WHEN " + best + " <= 0 THEN 'xx' "
+    for lang in langs:
+        case += f"WHEN ({score[lang]}) = {best} THEN '{lang}' "
+    case += "END"
+    return f"""
+WITH s AS (SELECT lang, {case} AS pred FROM documents)
 SELECT lang, pred, CAST(count(*) AS BIGINT) AS cnt
 FROM s GROUP BY lang, pred ORDER BY lang, pred
 """
+
+
+SQL_LANG_ID = _sql_lang_id()
 
 
 def q_minhash_lsh(spark, sf_dir):
