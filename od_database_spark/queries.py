@@ -991,6 +991,92 @@ SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
 """
 
 
+IVF_MOD = 97  # every 97th vector is a coarse centroid (deterministic "training")
+
+
+def q_embedding_ivf_search(spark, sf_dir):
+    """IVF-style ANN: deterministic coarse centroids (every IVF_MOD-th
+    vector), assign each vector to its nearest centroid by L2, then search
+    only the query vector's cell (cosine top 5).  The k-means training step
+    is replaced by deterministic centroid selection so the oracle can replay
+    it; the cell-restricted search is the IVF scale path."""
+    e = t(spark, sf_dir, "embeddings")
+    cents = e.filter(F.col("vec_id") % IVF_MOD == 3).select(
+        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    )
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding", "cent",
+            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = e.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "embedding", "cent_id", l2.alias("d2")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
+    cells = (
+        assigned.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    )
+    qcell = cells.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("qc"), F.col("embedding").alias("qe")
+    )
+    cands = cells.filter(F.col("vec_id") != 0).join(
+        F.broadcast(qcell), on=F.col("cell") == F.col("qc")
+    )
+    dot = F.aggregate(
+        F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F.sqrt(
+        F.aggregate(
+            F.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    return (
+        cands.select(
+            "vec_id",
+            F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 4).alias("cos"),
+        )
+        .orderBy(F.desc("cos"), F.asc("vec_id"))
+        .limit(5)
+    )
+
+
+SQL_EMBEDDING_IVF = f"""
+WITH cents AS (
+  SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
+  WHERE vec_id % {IVF_MOD} = 3),
+assigned AS (
+  SELECT e.vec_id, e.embedding, c.cent_id,
+         list_sum(list_transform(range(1, len(e.embedding) + 1),
+           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
+              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d2
+  FROM embeddings e CROSS JOIN cents c),
+cells AS (
+  SELECT vec_id, embedding, cent_id AS cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM assigned) WHERE rn = 1),
+q AS (SELECT cell AS qc, embedding AS qe FROM cells WHERE vec_id = 0),
+s AS (
+  SELECT vec_id,
+    list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+     sqrt(list_sum(list_transform(range(1, len(qe) + 1),
+             i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS c
+  FROM cells, q WHERE cell = qc AND vec_id <> 0)
+SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
+"""
+
+
 # ---------------------------------------------------------------------------
 # registry
 
@@ -1020,6 +1106,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
+    "embedding_ivf_search": (q_embedding_ivf_search, SQL_EMBEDDING_IVF),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
 }
