@@ -991,7 +991,7 @@ SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
 """
 
 
-IVF_MOD = 97  # every 97th vector is a coarse centroid (deterministic "training")
+IVF_MOD = 397  # every 397th vector is a coarse centroid (deterministic "training")
 
 
 def q_embedding_ivf_search(spark, sf_dir):
