@@ -991,6 +991,75 @@ SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
 """
 
 
+def q_simhash(spark, sf_dir):
+    """60-bit SimHash fingerprints per document (sign-aggregated word-hash
+    bits) — the operator lives in operators/dedup.py; this is its
+    oracle-checked query form."""
+    from .operators.dedup import simhash
+
+    d = t(spark, sf_dir, "documents")
+    return simhash(d, "text", "doc_id").orderBy("doc_id").limit(100)
+
+
+def _sql_simhash() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
+                        x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM documents)
+SELECT doc_id, ({bits}) AS simhash FROM w ORDER BY doc_id LIMIT 100
+"""
+
+
+def q_embedding_neardup(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs through the LSH buckets — the
+    dedup-pipeline form (operators/dedup.embedding_near_dup) as an
+    oracle-checked query."""
+    from .operators.dedup import embedding_near_dup
+
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        embedding_near_dup(e, "embedding", "vec_id", threshold=0.25)
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )
+
+
+def _sql_embedding_neardup() -> str:
+    def dot_sql(plane):
+        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+        return (
+            f"list_sum(list_transform(range(1, len(embedding) + 1), "
+            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+        )
+
+    bits = " + ".join(
+        f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(ANN_PLANES)
+    )
+    return f"""
+WITH b AS (
+  SELECT vec_id, ({bits}) AS bucket, embedding,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+  FROM embeddings),
+p AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+    ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
+          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+          / (a.n * b.n), 4) AS cosine
+  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.25
+ORDER BY id_a, id_b LIMIT 200
+"""
+
+
 IVF_MOD = 397  # every 397th vector is a coarse centroid (deterministic "training")
 
 
@@ -1107,6 +1176,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
     "embedding_ivf_search": (q_embedding_ivf_search, SQL_EMBEDDING_IVF),
+    "simhash": (q_simhash, _sql_simhash()),
+    "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
 }
