@@ -28,7 +28,7 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_HOSTS = int(os.environ.get("ODDB_BENCH_HOSTS", "20000"))
+BENCH_HOSTS = int(os.environ.get("ODDB_BENCH_HOSTS", "10000"))
 # N vs 4N pairs, per metric: the image fetch/decode stage is CPU-bound and
 # scales through 32 threads; the frontier stage is shuffle/memory-bandwidth
 # bound, and this VM saturates its memory bus above ~8 threads (pure-CPU spin
@@ -264,7 +264,7 @@ def main() -> None:
     ap.add_argument("--crawl", action="store_true", help="crawl-only, one JSON line")
     ap.add_argument("--frontier", action="store_true", help="frontier-throughput only")
     ap.add_argument("--fetch", action="store_true", help="fetch/decode-throughput only")
-    ap.add_argument("--images", type=int, default=int(os.environ.get("ODDB_BENCH_IMAGES", "60000")))
+    ap.add_argument("--images", type=int, default=int(os.environ.get("ODDB_BENCH_IMAGES", "40000")))
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--hosts", type=int, default=BENCH_HOSTS)
     ap.add_argument("--urls", type=int, default=int(os.environ.get("ODDB_BENCH_URLS", "2000000")))
