@@ -223,9 +223,7 @@ def run_fetch_throughput(spark, n_images: int) -> dict:
     urls = (
         spark.range(n_images)
         .select(
-            F.format_string(
-                "img_%08x", F.pmod(F.xxhash64("id"), F.lit(4294967296))
-            ).alias("image_id"),
+            F.format_string("img_%016x", F.xxhash64("id")).alias("image_id"),
             F.format_string("h%d.example.net", F.pmod("id", F.lit(500))).alias("host"),
         )
         .localCheckpoint(eager=True)

@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from ..queries import ANN_PLANES, MH_A, MH_B, MH_P
+from ..queries import ANN_TABLES, MH_A, MH_B, MH_P
 
 SIMHASH_BITS = 60  # 15 md5 hex digits — keeps the word hash inside int64
 
@@ -154,41 +154,63 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def lsh_bucket(emb: Column) -> Column:
-    """Sign-bit bucket over the fixed hyperplane set (shared with
-    queries.q_embedding_lsh_ann)."""
-    bits = []
-    for i, plane in enumerate(ANN_PLANES):
-        dot = _dot(emb, F.array(*[F.lit(float(w)) for w in plane]))
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for bcol in bits[1:]:
-        out = out + bcol
-    return out
+def ann_band_buckets(emb: Column, tables: list | None = None) -> Column:
+    """Per-band LSH bucket keys ("band:bits" strings, one per band) — b
+    independent sign-bit hash tables of r hyperplanes each.  Bucket count =
+    bands × 2^rows scales with the parameters (queries.ann_planes), so
+    in-bucket candidate pair counts stay bounded as the corpus grows — the
+    multi-table banding fix for the fixed-256-bucket ceiling."""
+    tables = ANN_TABLES if tables is None else tables
+    cols = []
+    for b, planes in enumerate(tables):
+        bits: Column | None = None
+        for r, plane in enumerate(planes):
+            d = _dot(emb, F.array(*[F.lit(float(w)) for w in plane]))
+            term = F.when(d > 0, F.lit(1 << r)).otherwise(F.lit(0))
+            bits = term if bits is None else bits + term
+        cols.append(F.concat_ws(":", F.lit(str(b)), bits.cast("string")))
+    return F.array(*cols)
 
 
 def embedding_near_dup(
-    df: DataFrame, emb_col: str, id_col: str, threshold: float = 0.95
+    df: DataFrame,
+    emb_col: str,
+    id_col: str,
+    threshold: float = 0.95,
+    tables: list | None = None,
 ) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, LSH-bucketed: candidate pairs
-    only form inside a sign-bucket (recall traded for the quadratic blowup —
-    the standard scale path; brute-force cosine is queries.q_embedding_topk)."""
-    norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
+    """Embedding-cosine near-duplicate pairs through banded LSH: candidate
+    pairs only form inside a (band, bucket) cell (recall traded for the
+    quadratic blowup — brute-force cosine is queries.q_embedding_topk).
+
+    Scale shape: the bucket self-join carries ONLY (id, bucket) — slim rows;
+    distinct pairs are formed before the embeddings are joined back, so the
+    arrays never ride the candidate-generation shuffle and each surviving
+    pair computes its cosine exactly once."""
     keyed = df.select(
         F.col(id_col),
-        lsh_bucket(F.col(emb_col)).alias("bucket"),
-        F.col(emb_col).alias("_e"),
-        norm.alias("_n"),
+        F.explode(ann_band_buckets(F.col(emb_col), tables)).alias("bucket"),
     )
     a, b = keyed.alias("a"), keyed.alias("b")
-    cos = _dot(F.col("a._e"), F.col("b._e")) / (F.col("a._n") * F.col("b._n"))
-    return (
+    pairs = (
         a.join(b, on="bucket")
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
-            F.col(f"a.{id_col}").alias("id_a"),
-            F.col(f"b.{id_col}").alias("id_b"),
-            F.round(cos, 4).alias("cosine"),
+            F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
         )
+        .distinct()
+    )
+    norm = F.sqrt(_dot(F.col(emb_col), F.col(emb_col)))
+    ea = df.select(
+        F.col(id_col).alias("id_a"), F.col(emb_col).alias("_ea"), norm.alias("_na")
+    )
+    eb = df.select(
+        F.col(id_col).alias("id_b"), F.col(emb_col).alias("_eb"), norm.alias("_nb")
+    )
+    cos = _dot(F.col("_ea"), F.col("_eb")) / (F.col("_na") * F.col("_nb"))
+    return (
+        pairs.join(ea, on="id_a")
+        .join(eb, on="id_b")
+        .select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
         .filter(F.col("cosine") >= threshold)
     )

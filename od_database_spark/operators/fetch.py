@@ -37,10 +37,12 @@ def _fetch_batch(image_ids: pd.Series) -> pd.DataFrame:
 
 
 def fetch_images(image_urls: DataFrame, batch_size: int = 256) -> DataFrame:
-    """image_urls carries (url, image_id, host, ...).  Repartitioned by host
-    so one site's fetches stay on one executor (politeness affinity — the
-    per-host analog of tasks.py:158 hash64 keying), then decoded in Arrow
-    batches.  Returns schema.IMAGES."""
+    """image_urls carries (url, image_id, host, ...), decoded in Arrow
+    batches; returns schema.IMAGES.  Partitioning is ROUND-ROBIN (see below):
+    synthetic decode work is per-image uniform and needs no host affinity.  A
+    live HTTP fetcher would instead repartition by host (the per-host analog
+    of tasks.py:158 hash64 keying) and let the politeness scheduler bound
+    per-host batch sizes."""
     # 4 tasks per core: small tasks overlap Python-side encode with JVM-side
     # Arrow reads of the binary column (measured 2.3x over 1 task/core), and
     # bound per-task memory for the byte payloads.  Round-robin (no key):

@@ -102,9 +102,16 @@ def packed_seq(df: DataFrame, order_cols: list, round_no: int) -> DataFrame:
     observable — tasks.py:149-166).
 
     Layout: bits 45+ round+1, bits 33-44 partition id, bits 0-32 row position
-    → strictly monotone across rounds, sort-ordered within a round.
+    → strictly monotone across rounds, sort-ordered within a round.  The
+    partition field holds 12 bits, so the range shuffle is EXPLICITLY capped
+    at 4096 partitions (an explicit count also stops AQE from renumbering);
+    without the cap a >4096-partition config would shiftleft into the round
+    bits and silently corrupt the ordering contract.
     """
-    d = df.repartitionByRange(*order_cols).sortWithinPartitions(*order_cols)
+    n_parts = min(
+        int(df.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")), 4096
+    )
+    d = df.repartitionByRange(n_parts, *order_cols).sortWithinPartitions(*order_cols)
     packed = (
         F.lit((round_no + 1) << 45)
         + F.shiftleft(F.spark_partition_id().cast("long"), 33)
@@ -148,7 +155,14 @@ def resolve_intra_batch(passed: DataFrame) -> DataFrame:
                 blocked, on=level["canon_url"] == blocked["_b_url"], how="left_anti"
             )
         accepted = level if accepted is None else accepted.unionByName(level)
-    return accepted if accepted is not None else passed.limit(0)
+    if accepted is None:
+        uniq.unpersist()
+        return passed.limit(0)
+    # materialize before releasing the cache (block-store hygiene: submit is
+    # one-shot, but the cache must not outlive the call)
+    accepted = accepted.localCheckpoint(eager=True)
+    uniq.unpersist()
+    return accepted
 
 
 def submit_seeds(
@@ -421,9 +435,11 @@ def expand_round(
         F.col("host"),
         F.col("parent_seq"),
         F.col("link_idx"),
-        F.format_string(
-            "img_%08x", F.pmod(F.xxhash64("child_url"), F.lit(4294967296))
-        ).alias("image_id"),
+        # full 64-bit id (%016x renders the long as unsigned two's-complement
+        # hex): a 32-bit id would hit birthday collisions at ~10^5 images and
+        # fetch derives BYTES AND CAPTIONS from image_id, so colliding URLs
+        # would silently share pixels
+        F.format_string("img_%016x", F.xxhash64("child_url")).alias("image_id"),
     )
     # materialize the round's outputs, then free the rank checkpoint — its
     # blocks are unrecoverable after unpersist, so nothing returned may still

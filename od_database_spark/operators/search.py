@@ -153,7 +153,12 @@ def score_expr(q: str, fields: list[str]) -> Column:
 
 def match_expr(q: str, fields: list[str], match_all: bool) -> Column:
     """Q2 operator semantics: AND unless match_all (views.py:183 maps the
-    'all' flag to OR — quirk preserved: match_all=True means OR)."""
+    'all' flag to OR — quirk preserved: match_all=True means OR).
+
+    A token with no applicable field predicate (e.g. fields=['name.nGram']
+    with a sub-3-char token — a combination the reference UI allows via
+    field_trigram) contributes FALSE; an empty tokenized query matches
+    nothing — both mirror ES's graceful no-hit behavior."""
     tokens = [t for t in q.lower().split() if t]
     per_token = []
     for tk in tokens:
@@ -169,10 +174,12 @@ def match_expr(q: str, fields: list[str], match_all: bool) -> Column:
             cols.append(hit)
         if "path" in fields:
             cols.append(F.array_contains(F.split(F.lower(F.col("path")), r"[^a-z0-9]+"), tk))
-        tok_hit = cols[0]
+        tok_hit = cols[0] if cols else F.lit(False)
         for c in cols[1:]:
             tok_hit = tok_hit | c
         per_token.append(tok_hit)
+    if not per_token:
+        return F.lit(False)
     out = per_token[0]
     for p in per_token[1:]:
         out = (out | p) if match_all else (out & p)
@@ -228,9 +235,17 @@ def search(
 
 def highlight(df: DataFrame, q: str) -> DataFrame:
     """Q4: <mark>-wrap matched terms in name and path
-    (search/search.py:233-239)."""
+    (search/search.py:233-239).  Tokens are regex-ESCAPED: the reference's ES
+    highlighter never treats the query as a pattern, so 'c++' or '(foo' must
+    highlight literally instead of crashing the Java regex compiler."""
+    import re
+
     tokens = [t for t in q.lower().split() if t]
-    pattern = "(?i)(" + "|".join(tokens) + ")"
+    if not tokens:
+        return df.withColumn("name_hl", F.col("name")).withColumn(
+            "path_hl", F.col("path")
+        )
+    pattern = "(?i)(" + "|".join(re.escape(t) for t in tokens) + ")"
     return df.withColumn(
         "name_hl", F.regexp_replace("name", pattern, "<mark>$1</mark>")
     ).withColumn("path_hl", F.regexp_replace("path", pattern, "<mark>$1</mark>"))

@@ -53,6 +53,25 @@ class PartitionedBloom:
         self.bits_per_part = bits_per_part  # power of two
         self.k = k
         self.bitsets = bitsets  # part -> uint8 array of size bits/8
+        self._bc = None  # cached Spark broadcast of the bitsets (see spark_broadcast)
+
+    def spark_broadcast(self, spark):
+        """One broadcast per bloom GENERATION, cached on the instance: probing
+        every round must not pile up a fresh full-bitset broadcast per round.
+        union_update invalidates the cache (the bitsets changed)."""
+        if self._bc is None:
+            self._bc = spark.sparkContext.broadcast(
+                (self.n_parts, self.bits_per_part, self.k, self.bitsets)
+            )
+        return self._bc
+
+    def invalidate_broadcast(self) -> None:
+        if self._bc is not None:
+            try:
+                self._bc.unpersist()
+            except Exception:
+                pass
+            self._bc = None
 
     @staticmethod
     def params_for(expected_keys: int, n_parts: int, fpp: float = 0.01) -> tuple[int, int]:
@@ -84,6 +103,7 @@ class PartitionedBloom:
                 self.bitsets[part] = np.bitwise_or(self.bitsets[part], bits)
             else:
                 self.bitsets[part] = bits
+        self.invalidate_broadcast()  # the cached broadcast is now stale
 
     @classmethod
     def build(cls, seen: DataFrame, n_parts: int = 64, fpp: float = 0.01,
@@ -142,10 +162,9 @@ class PartitionedBloom:
 
 def maybe_seen_col(spark, bloom: PartitionedBloom, key: Column) -> Column:
     """Arrow-batched bloom probe as a boolean column.  The bitsets travel as a
-    Spark broadcast (one copy per executor, not per task)."""
-    bc = spark.sparkContext.broadcast(
-        (bloom.n_parts, bloom.bits_per_part, bloom.k, bloom.bitsets)
-    )
+    Spark broadcast (one copy per executor, not per task), cached on the bloom
+    instance so repeated rounds reuse one broadcast per bloom generation."""
+    bc = bloom.spark_broadcast(spark)
 
     @F.pandas_udf(T.BooleanType())
     def probe(keys: pd.Series) -> pd.Series:
@@ -284,7 +303,13 @@ def climb_to_top(candidates: DataFrame, pages: DataFrame) -> DataFrame:
         ).alias("_parent_tags_ok"),
     )
     out = candidates
-    # depth is bounded; loop until no row climbs (checked via count)
+    prev_ckpt: DataFrame | None = None
+    # depth is bounded; loop until no row climbs (checked via count).  Each
+    # level is MATERIALIZED (localCheckpoint) before the can-climb count —
+    # otherwise the count plus the next level's join recompute the whole
+    # accumulated join chain every iteration (O(depth^2) work and the
+    # plan-tree growth the iterative-loop rule warns about).  Exactly one
+    # prior checkpoint is alive at a time.
     for _ in range(16):
         path = F.regexp_replace(F.col("canon_url"), r"^[a-z]+://[^/]+", "")
         # careful: matching on the whole URL would grab the hostname at the
@@ -305,21 +330,30 @@ def climb_to_top(candidates: DataFrame, pages: DataFrame) -> DataFrame:
             & F.col("_parent_tags_ok")
             & F.array_contains(F.coalesce(F.col("_parent_links"), F.array()), F.col("_child"))
         )
-        stepped = stepped.withColumn("_climbs", can_climb)
+        stepped = stepped.withColumn("_climbs", can_climb).localCheckpoint(eager=True)
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()  # this level is materialized; the parent is dead
+        prev_ckpt = stepped
         n_climb = stepped.filter(F.col("_climbs")).limit(1).count()
         out = stepped.withColumn(
             "canon_url", F.when(F.col("_climbs"), F.col("_parent")).otherwise(F.col("canon_url"))
         ).drop("_parent", "_child", "_parent_url", "_parent_links", "_parent_tags_ok", "_climbs")
         if n_climb == 0:
             break
-    # the climb changed canon_url for some rows — refresh the derived keys
-    return (
+    # the climb changed canon_url for some rows — refresh the derived keys.
+    # Materialize before releasing the last level's checkpoint (its blocks
+    # are unrecoverable after unpersist).
+    result = (
         out.withColumn("url_hash", F.xxhash64("canon_url"))
         .withColumn(
             "depth",
             F.size(F.filter(F.split(F.regexp_replace("canon_url", r"^[a-z]+://[^/]+", ""), "/"), lambda s: s != "")),
         )
+        .localCheckpoint(eager=True)
     )
+    if prev_ckpt is not None:
+        prev_ckpt.unpersist()
+    return result
 
 
 def submit_chain(

@@ -18,6 +18,7 @@ Determinism rules applied to every query:
 
 from __future__ import annotations
 
+import hashlib
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -43,8 +44,27 @@ MH_N = 8
 MH_A = [2 * j + 3 for j in range(MH_N)]
 MH_B = [5 * j + 7 for j in range(MH_N)]
 
-# LSH-ANN hyperplanes: w[i][j] = ((i*31 + j*17) % 7) - 3, 8 planes × 64 dims
-ANN_PLANES = [[((i * 31 + j * 17) % 7) - 3 for j in range(64)] for i in range(8)]
+# Embedding-LSH geometry: ANN_BANDS independent hash tables of ANN_ROWS
+# sign-bit hyperplanes each (b bands × r rows).  Bucket count = bands × 2^rows
+# GROWS WITH THE PARAMETERS — at 10^10 vectors you raise rows (and bands for
+# recall) so in-bucket candidate work stays bounded; a single fixed table
+# cannot do that.  Plane weights are md5-derived small ints so the same
+# literals embed in both engines (and no two planes repeat, unlike a linear
+# congruential formula whose planes cycle mod 7).
+ANN_BANDS = 4
+ANN_ROWS = 6
+ANN_DIM = 64
+
+
+def ann_planes(bands: int = ANN_BANDS, rows: int = ANN_ROWS, dim: int = ANN_DIM):
+    def w(b, r, j):
+        h = int(hashlib.md5(f"plane:{b}:{r}:{j}".encode()).hexdigest()[:8], 16)
+        return (h % 7) - 3
+
+    return [[[w(b, r, j) for j in range(dim)] for r in range(rows)] for b in range(bands)]
+
+
+ANN_TABLES = ann_planes()
 
 
 # ---------------------------------------------------------------------------
@@ -620,11 +640,11 @@ FROM s GROUP BY lang, pred ORDER BY lang, pred
 SQL_LANG_ID = _sql_lang_id()
 
 
-def q_minhash_lsh(spark, sf_dir):
-    """MinHash + LSH banding near-dup candidates: word-3-gram shingles →
-    8 minhashes (md5-derived, engine-portable) → 4 bands of 2 → pairs sharing
-    any band bucket.  The standard shingle→minhash→band→bucket-join pipeline."""
-    d = t(spark, sf_dir, "documents")
+def _minhash_candidates(d: DataFrame) -> DataFrame:
+    """Shared candidate generator: word-3-gram shingles → MH_N minhashes
+    (md5-derived, engine-portable) → MH_N/2 bands of 2 → distinct pairs
+    sharing any band bucket.  Used by q_minhash_lsh (as the output) and by
+    q_ngram_jaccard (as the candidate feed)."""
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
@@ -659,17 +679,24 @@ def q_minhash_lsh(spark, sf_dir):
     )
     a = bands.alias("a")
     b = bands.alias("b")
-    pairs = (
+    return (
         a.join(b, on="bucket")
         .filter(F.col("a.doc_id") < F.col("b.doc_id"))
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
-        .orderBy("doc_a", "doc_b")
     )
-    return pairs
 
 
-def _sql_minhash_lsh() -> str:
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash + LSH banding near-dup candidates — the standard
+    shingle→minhash→band→bucket-join pipeline."""
+    d = t(spark, sf_dir, "documents")
+    return _minhash_candidates(d).orderBy("doc_a", "doc_b")
+
+
+def _sql_minhash_cte() -> str:
+    """Shared DuckDB CTE chain ending in `cand(doc_a, doc_b)` — mirrors
+    _minhash_candidates."""
     mh_exprs = ",\n".join(
         f"""list_min(list_transform(hashed, h -> ({a} * h + {b}) % {MH_P})) AS mh{j}"""
         for j, (a, b) in enumerate(zip(MH_A, MH_B))
@@ -695,17 +722,27 @@ sigs AS (
   SELECT doc_id, {mh_exprs}
   FROM hs),
 bands AS (
-  SELECT doc_id, unnest([{band_list}]) AS bucket FROM sigs)
-SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id
-ORDER BY doc_a, doc_b
+  SELECT doc_id, unnest([{band_list}]) AS bucket FROM sigs),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.bucket = b.bucket AND a.doc_id < b.doc_id)"""
+
+
+def _sql_minhash_lsh() -> str:
+    return _sql_minhash_cte() + """
+SELECT doc_a, doc_b FROM cand ORDER BY doc_a, doc_b
 """
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """N-gram Jaccard near-dup verification over candidate pairs (blocked by
-    (lang, length-bucket) to bound the pair count)."""
+    """N-gram Jaccard verification over the MinHash-LSH CANDIDATE PAIRS —
+    exact |A∩B|/|A∪B| on distinct word-3-gram shingle sets, computed only for
+    pairs the banded LSH surfaced.  Feeding candidates in (instead of
+    all-pairs within coarse blocks) is what bounds the work: a hot shingle
+    can no longer make one block quadratic, and total verify cost is
+    O(|candidates| × shingles-per-doc)."""
     d = t(spark, sf_dir, "documents")
+    cand = _minhash_candidates(d)
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     shingles = F.array_distinct(
         F.transform(
@@ -713,21 +750,18 @@ def q_ngram_jaccard(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
         )
     )
-    s = d.select(
-        "doc_id", "lang",
-        F.floor(F.col("n_chars") / 64).cast("long").alias("lb"),
-        shingles.alias("sh"),
-    ).localCheckpoint(eager=False)
-    # scale shape: explode the shingles once and count matches per pair via
-    # aggregation — the join carries only (key, doc_id), never the arrays,
-    # and |A∩B| comes from a groupBy instead of per-pair array intersection
+    s = d.select("doc_id", shingles.alias("sh"))
     sizes = s.select("doc_id", F.size("sh").alias("n_sh"))
-    ex = s.select("doc_id", "lang", "lb", F.explode("sh").alias("shingle"))
-    a, b = ex.alias("a"), ex.alias("b")
+    # |A∩B| per candidate pair via exploded-shingle joins: the joins carry
+    # only (doc_id, shingle) rows — the arrays never ride a shuffle — and the
+    # fan-out is bounded by |candidates| × shingles-per-doc
+    ex = s.select("doc_id", F.explode("sh").alias("shingle"))
+    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
+    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (
-        a.join(b, on=["lang", "lb", "shingle"])
-        .filter(F.col("a.doc_id") < F.col("b.doc_id"))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(ea, on="doc_a")
+        .join(eb, on=["doc_b", "shingle"])
+        .groupBy("doc_a", "doc_b")
         .agg(F.count("*").alias("n_inter"))
     )
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
@@ -746,20 +780,15 @@ def q_ngram_jaccard(spark, sf_dir):
     return pairs
 
 
-SQL_NGRAM_JACCARD = """
-WITH s AS (
-  SELECT doc_id, lang, CAST(floor(n_chars / 64.0) AS BIGINT) AS lb,
-         list_distinct(list_transform(
-           range(1, greatest(len(list_filter(string_split(text,' '), w -> w <> '')) - 2, 0) + 1),
-           i -> array_to_string(list_slice(list_filter(string_split(text,' '), w -> w <> ''), i, i + 2), ' '))) AS sh
-  FROM documents)
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-             / len(list_distinct(list_concat(a.sh, b.sh))), 4) AS jaccard
-FROM s a JOIN s b ON a.lang = b.lang AND a.lb = b.lb AND a.doc_id < b.doc_id
-WHERE ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
-      / len(list_distinct(list_concat(a.sh, b.sh))), 4) >= 0.2
-ORDER BY doc_a, doc_b
+def _sql_ngram_jaccard() -> str:
+    return _sql_minhash_cte() + """,
+s AS (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh),
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE)
+               / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) AS jaccard
+  FROM cand c JOIN s a ON a.doc_id = c.doc_a JOIN s b ON b.doc_id = c.doc_b)
+SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b
 """
 
 
@@ -807,45 +836,46 @@ SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 10
 
 
 def q_embedding_lsh_ann(spark, sf_dir):
-    """LSH-bucketed ANN (the scale path): 8 fixed hyperplanes → sign-bit
-    bucket; search only the query's bucket.  Bucket histogram + in-bucket
-    top-5 for the query vector."""
+    """Banded-LSH index build (the ANN scale path): ANN_BANDS independent
+    sign-bit hash tables of ANN_ROWS hyperplanes each; output is the
+    (band, bucket) occupancy histogram.  Bucket count = bands × 2^rows is a
+    PARAMETER (ann_planes), not a fixed constant — at 10^10 vectors `rows`
+    grows so per-cell candidate work stays bounded."""
+    from .operators.dedup import ann_band_buckets
+
     e = t(spark, sf_dir, "embeddings")
+    k = e.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+    )
+    return k.groupBy("bucket").agg(F.count("*").alias("cnt")).orderBy("bucket")
 
-    def bucket_col(emb):
-        bits = []
-        for i, plane in enumerate(ANN_PLANES):
-            dot = F.aggregate(
-                F.zip_with(
-                    emb,
-                    F.array(*[F.lit(float(w)) for w in plane]),
-                    lambda x, y: x.cast("double") * y,
-                ),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            )
-            bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-        return sum(bits[1:], bits[0])
 
-    b = e.select("vec_id", bucket_col(F.col("embedding")).alias("bucket"))
-    return b.groupBy("bucket").agg(F.count("*").alias("cnt")).orderBy("bucket")
+def _sql_dot(plane) -> str:
+    arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
+    return (
+        f"list_sum(list_transform(range(1, len(embedding) + 1), "
+        f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
+    )
+
+
+def _sql_band_buckets() -> str:
+    """DuckDB literal: list of per-band 'band:bits' bucket keys over
+    ANN_TABLES — mirrors dedup.ann_band_buckets exactly."""
+    parts = []
+    for b, planes in enumerate(ANN_TABLES):
+        bits = " + ".join(
+            f"(CASE WHEN {_sql_dot(p)} > 0 THEN {1 << r} ELSE 0 END)"
+            for r, p in enumerate(planes)
+        )
+        parts.append(f"concat('{b}', ':', CAST(({bits}) AS VARCHAR))")
+    return "[" + ", ".join(parts) + "]"
 
 
 def _sql_embedding_lsh_ann() -> str:
-    def dot_sql(plane):
-        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
-        return (
-            f"list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
-    bits = " + ".join(
-        f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(ANN_PLANES)
-    )
     return f"""
-WITH b AS (SELECT vec_id, ({bits}) AS bucket FROM embeddings)
-SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM b GROUP BY bucket ORDER BY bucket
+WITH e AS (SELECT vec_id, {_sql_band_buckets()} AS buckets FROM embeddings),
+k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY bucket ORDER BY bucket
 """
 
 
@@ -910,37 +940,27 @@ FROM documents ORDER BY doc_id LIMIT 200
 """
 
 
-def _ann_bucket_col(emb):
-    bits = []
-    for i, plane in enumerate(ANN_PLANES):
-        dot = F.aggregate(
-            F.zip_with(
-                emb,
-                F.array(*[F.lit(float(w)) for w in plane]),
-                lambda x, y: x.cast("double") * y,
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        bits.append(F.when(dot > 0, F.lit(1 << i)).otherwise(F.lit(0)))
-    out = bits[0]
-    for b in bits[1:]:
-        out = out + b
-    return out
-
-
 def q_embedding_bucket_search(spark, sf_dir):
-    """ANN query through the LSH index: compute the query vector's sign
-    bucket, then brute-force cosine only inside that bucket (top 5) — the
-    scale path where the full corpus is never scanned per query."""
+    """ANN query through the banded-LSH index: candidates = vectors sharing
+    ANY band bucket with the query (semi-join on slim (id, bucket) keys),
+    then brute-force cosine only over the candidates (top 5) — the scale
+    path where the full corpus is never cosine-scanned per query and the
+    arrays never ride the candidate-generation shuffle."""
+    from .operators.dedup import ann_band_buckets
+
     e = t(spark, sf_dir, "embeddings")
-    b = e.select("vec_id", _ann_bucket_col(F.col("embedding")).alias("bucket"), "embedding")
-    q = b.filter(F.col("vec_id") == 0).select(
-        F.col("bucket").alias("qb"), F.col("embedding").alias("qe")
+    keyed = e.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
     )
-    cands = b.filter(F.col("vec_id") != 0).join(
-        F.broadcast(q), on=F.col("bucket") == F.col("qb"), how="inner"
+    qb = keyed.filter(F.col("vec_id") == 0).select("bucket")
+    cand_ids = (
+        keyed.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qb), on="bucket", how="left_semi")
+        .select("vec_id")
+        .distinct()
     )
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cands = e.join(cand_ids, on="vec_id").crossJoin(F.broadcast(qv))
     dot = F.aggregate(
         F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -964,29 +984,22 @@ def q_embedding_bucket_search(spark, sf_dir):
 
 
 def _sql_embedding_bucket_search() -> str:
-    def dot_sql(plane):
-        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
-        return (
-            f"list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
-    bits = " + ".join(
-        f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(ANN_PLANES)
-    )
     return f"""
-WITH b AS (SELECT vec_id, ({bits}) AS bucket, embedding FROM embeddings),
-q AS (SELECT bucket AS qb, embedding AS qe FROM b WHERE vec_id = 0),
+WITH e AS (SELECT vec_id, {_sql_band_buckets()} AS buckets FROM embeddings),
+k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e),
+qb AS (SELECT bucket FROM k WHERE vec_id = 0),
+cand AS (SELECT DISTINCT vec_id FROM k
+         WHERE vec_id <> 0 AND bucket IN (SELECT bucket FROM qb)),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 s AS (
-  SELECT vec_id,
-    list_sum(list_transform(range(1, len(embedding) + 1),
-             i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
-    (sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
-             i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
+  SELECT e2.vec_id,
+    list_sum(list_transform(range(1, len(e2.embedding) + 1),
+             i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
+    (sqrt(list_sum(list_transform(range(1, len(e2.embedding) + 1),
+             i -> CAST(e2.embedding[i] AS DOUBLE) * CAST(e2.embedding[i] AS DOUBLE)))) *
      sqrt(list_sum(list_transform(range(1, len(qe) + 1),
              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS c
-  FROM b, q WHERE bucket = qb AND vec_id <> 0)
+  FROM embeddings e2 JOIN cand ON e2.vec_id = cand.vec_id CROSS JOIN q)
 SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
 """
 
@@ -1034,46 +1047,47 @@ def q_embedding_neardup(spark, sf_dir):
 
 
 def _sql_embedding_neardup() -> str:
-    def dot_sql(plane):
-        arr = "[" + ", ".join(f"{float(w)}" for w in plane) + "]"
-        return (
-            f"list_sum(list_transform(range(1, len(embedding) + 1), "
-            f"i -> CAST(embedding[i] AS DOUBLE) * ({arr})[i]))"
-        )
-
-    bits = " + ".join(
-        f"(CASE WHEN {dot_sql(p)} > 0 THEN {1 << i} ELSE 0 END)"
-        for i, p in enumerate(ANN_PLANES)
-    )
     return f"""
-WITH b AS (
-  SELECT vec_id, ({bits}) AS bucket, embedding,
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_band_buckets()} AS buckets,
          sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
   FROM embeddings),
+k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e),
 p AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-    ROUND(list_sum(list_transform(range(1, len(a.embedding) + 1),
-          i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
-          / (a.n * b.n), 4) AS cosine
-  FROM b a JOIN b b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
-SELECT id_a, id_b, cosine FROM p WHERE cosine >= 0.25
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+c AS (
+  SELECT p.id_a, p.id_b,
+    ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+          i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+          / (ea.n * eb.n), 4) AS cosine
+  FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b)
+SELECT id_a, id_b, cosine FROM c WHERE cosine >= 0.25
 ORDER BY id_a, id_b LIMIT 200
 """
 
 
-IVF_MOD = 397  # every 397th vector is a coarse centroid (deterministic "training")
+IVF_K = 16  # FIXED centroid count — does not grow with the table
 
 
 def q_embedding_ivf_search(spark, sf_dir):
-    """IVF-style ANN: deterministic coarse centroids (every IVF_MOD-th
-    vector), assign each vector to its nearest centroid by L2, then search
-    only the query vector's cell (cosine top 5).  The k-means training step
-    is replaced by deterministic centroid selection so the oracle can replay
-    it; the cell-restricted search is the IVF scale path."""
+    """IVF-style ANN with a FIXED number of deterministic coarse centroids:
+    the IVF_K vectors smallest by md5(vec_id) (a replayable uniform sample —
+    the k-means training step is replaced by deterministic selection so the
+    oracle can replay it).  Assign each vector to its nearest centroid by L2,
+    then search only the query vector's cell (cosine top 5).
+
+    Scale shape: centroid selection is one TakeOrderedAndProject (O(N) scan,
+    K-row result); assignment is a BROADCAST cross join (O(N·K) work, no
+    shuffle of the fact side); the arg-min is a map-side-combined groupBy of
+    slim (vec_id, d2, cent_id) rows.  Nothing here grows with N except the
+    single linear pass — the fix for the old centroids-∝-N O(N²) plan."""
     e = t(spark, sf_dir, "embeddings")
-    cents = e.filter(F.col("vec_id") % IVF_MOD == 3).select(
-        F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent")
+    cents = (
+        e.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
+        .limit(IVF_K)
     )
     l2 = F.aggregate(
         F.zip_with(
@@ -1084,13 +1098,13 @@ def q_embedding_ivf_search(spark, sf_dir):
         lambda acc, v: acc + v,
     )
     assigned = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "embedding", "cent_id", l2.alias("d2")
+        "vec_id", "cent_id", l2.alias("d2")
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cent_id"))
-    cells = (
-        assigned.withColumn("_rn", F.row_number().over(w))
-        .filter(F.col("_rn") == 1)
-        .select("vec_id", "embedding", F.col("cent_id").alias("cell"))
+    best = assigned.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
+    )
+    cells = e.join(best, on="vec_id").select(
+        "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
     )
     qcell = cells.filter(F.col("vec_id") == 0).select(
         F.col("cell").alias("qc"), F.col("embedding").alias("qe")
@@ -1123,17 +1137,17 @@ def q_embedding_ivf_search(spark, sf_dir):
 SQL_EMBEDDING_IVF = f"""
 WITH cents AS (
   SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-  WHERE vec_id % {IVF_MOD} = 3),
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}),
 assigned AS (
-  SELECT e.vec_id, e.embedding, c.cent_id,
+  SELECT e.vec_id, c.cent_id,
          list_sum(list_transform(range(1, len(e.embedding) + 1),
            i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
               * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d2
   FROM embeddings e CROSS JOIN cents c),
 cells AS (
-  SELECT vec_id, embedding, cent_id AS cell FROM (
+  SELECT a.vec_id, e.embedding, a.cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM assigned) WHERE rn = 1),
+    FROM assigned) a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn = 1),
 q AS (SELECT cell AS qc, embedding AS qe FROM cells WHERE vec_id = 0),
 s AS (
   SELECT vec_id,
@@ -1173,7 +1187,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
-    "ngram_jaccard": (q_ngram_jaccard, SQL_NGRAM_JACCARD),
+    "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),

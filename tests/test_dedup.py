@@ -7,7 +7,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from od_database_spark.operators import dedup as D
-from od_database_spark.queries import ANN_PLANES, MH_A, MH_B, MH_P
+from od_database_spark.queries import ANN_TABLES, MH_A, MH_B, MH_P, ann_planes
 
 DOCS = [
     (0, "the quick brown fox jumps over the lazy dog"),
@@ -89,11 +89,54 @@ def test_embedding_near_dup_matches_numpy(spark):
     got = {(r["id_a"], r["id_b"]): r["cosine"]
            for r in D.embedding_near_dup(df, "embedding", "vec_id", 0.95).collect()}
     assert (0, 1) in got and got[(0, 1)] >= 0.99
-    # oracle: brute-force cosine over pairs sharing the LSH bucket
-    planes = np.array(ANN_PLANES, dtype=np.float64)[:, :16]
-    buckets = ((base.astype(np.float64) @ planes.T) > 0) @ (1 << np.arange(8))
+    # oracle: candidate pairs must share at least one band bucket; cosines
+    # must match a numpy brute-force
+    tabs = np.array(ANN_TABLES, dtype=np.float64)[:, :, :16]  # (bands, rows, dim)
+    pow2 = 1 << np.arange(tabs.shape[1])
+    buckets = [
+        ((base.astype(np.float64) @ tabs[bi].T) > 0) @ pow2
+        for bi in range(tabs.shape[0])
+    ]
     for (a, b), c in got.items():
-        assert buckets[a] == buckets[b]
+        assert any(bk[a] == bk[b] for bk in buckets)
         na, nb = np.linalg.norm(base[a]), np.linalg.norm(base[b])
         expect = float(base[a].astype(np.float64) @ base[b].astype(np.float64) / (na * nb))
         assert abs(round(expect, 4) - c) <= 1e-3
+
+
+def test_ann_bucket_count_scales_with_params(spark):
+    """Regression for the fixed-256-bucket ceiling: the bucket key space must
+    grow with the banding parameters, and real vectors must spread across
+    it (bounded per-bucket candidate counts come from that spread)."""
+    rng = np.random.default_rng(11)
+    base = rng.normal(size=(256, 16)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(len(base))]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    from pyspark.sql import functions as F
+
+    def n_buckets(tables):
+        keyed = df.select(
+            F.explode(D.ann_band_buckets(F.col("embedding"), tables)).alias("b")
+        )
+        return keyed.select("b").distinct().count()
+
+    small = n_buckets(ann_planes(bands=2, rows=3, dim=16))
+    big = n_buckets(ann_planes(bands=4, rows=6, dim=16))
+    assert small <= 2 * 2**3
+    assert big > small  # key space grows with the parameters
+    # with 6-bit tables over random gaussians, occupancy spreads well past
+    # the old single-table ceiling behavior (many distinct cells per band)
+    assert big >= 4 * 8
+
+
+def test_ngram_jaccard_verifies_only_lsh_candidates(spark):
+    """The verify stage must consume the LSH candidate feed — every verified
+    pair is an LSH candidate pair (no all-pairs block join behind it)."""
+    from od_database_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    cand = {(r["doc_a"], r["doc_b"]) for r in Q._minhash_candidates(
+        spark.read.parquet(f"{sf}/documents.parquet")).collect()}
+    verified = {(r["doc_a"], r["doc_b"])
+                for r in Q.q_ngram_jaccard(spark, sf).collect()}
+    assert verified <= cand
