@@ -1,0 +1,91 @@
+"""Full ascii-folding table (SURVEY.md X2, reference F10/Q1 path).
+
+The reference folds queries through the fold_to_ascii submodule before the
+blocklist check (search/filter.py:11-31, .gitmodules:1-3).  That package
+implements the well-known Lucene ASCIIFoldingFilter semantics: every Latin
+letter with a diacritic or ligature maps to its ASCII base sequence.  The
+table here is DERIVED, not copied: NFKD decomposition with combining marks
+stripped over the Latin ranges (U+00C0-U+024F, U+1E00-U+1EFF), plus the
+standard non-decomposable specials (o-stroke, eth, thorn, l-stroke, sharp s,
+ligatures) and typographic punctuation.  Both engines consume the SAME
+generated table: Spark via replace-chain + translate, DuckDB via the
+generated SQL mirror — parity is by construction.
+"""
+
+from __future__ import annotations
+
+import unicodedata
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+# non-decomposable characters Lucene folds (NFKD leaves these untouched)
+_SPECIAL = {
+    "ß": "ss", "ẞ": "SS",
+    "æ": "ae", "Æ": "AE", "œ": "oe", "Œ": "OE",
+    "ø": "o", "Ø": "O", "ð": "d", "Ð": "D", "þ": "th", "Þ": "TH",
+    "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H", "ı": "i", "ĸ": "k",
+    "ł": "l", "Ł": "L", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
+    "ƀ": "b", "ƃ": "b", "Ƃ": "B", "ƈ": "c", "Ƈ": "C", "ɖ": "d",
+    "ƒ": "f", "Ƒ": "F", "ǥ": "g", "Ǥ": "G", "ʒ": "s", "Ʒ": "S",
+    "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl", "ﬆ": "st",
+    # typographic punctuation the filter normalizes
+    "‘": "'", "’": "'", "‚": "'", "‛": "'",
+    "“": '"', "”": '"', "„": '"',
+    "‐": "-", "‑": "-", "‒": "-", "–": "-", "—": "-",
+}
+
+_RANGES = ((0x00C0, 0x0250), (0x1E00, 0x1F00))
+
+
+def _build() -> tuple[dict[str, str], dict[str, str]]:
+    one: dict[str, str] = {}
+    multi: dict[str, str] = {}
+    for lo, hi in _RANGES:
+        for cp in range(lo, hi):
+            ch = chr(cp)
+            if ch in _SPECIAL:
+                continue
+            d = unicodedata.normalize("NFKD", ch)
+            folded = "".join(
+                c for c in d if ord(c) < 128 and not unicodedata.combining(c)
+            )
+            if folded and folded != ch:
+                (one if len(folded) == 1 else multi)[ch] = folded
+    for ch, rep in _SPECIAL.items():
+        (one if len(rep) == 1 else multi)[ch] = rep
+    return one, multi
+
+
+FOLD_ONE, FOLD_MULTI = _build()
+_SRC = "".join(sorted(FOLD_ONE))
+_DST = "".join(FOLD_ONE[c] for c in sorted(FOLD_ONE))
+
+
+def fold_ascii_col(col: Column) -> Column:
+    """Apply the full fold as native expressions: the (few) one-to-many
+    mappings as literal replaces, then ONE translate for the hundreds of
+    one-to-one mappings — all whole-stage-codegen'd, no UDF."""
+    out = col
+    for ch in sorted(FOLD_MULTI):
+        out = F.replace(out, F.lit(ch), F.lit(FOLD_MULTI[ch]))
+    return F.translate(out, _SRC, _DST)
+
+
+def _q(s: str) -> str:  # SQL single-quote escaping (the fold emits "'")
+    return s.replace("'", "''")
+
+
+def fold_ascii_sql(expr: str) -> str:
+    """DuckDB mirror of fold_ascii_col over an SQL expression string."""
+    out = expr
+    for ch in sorted(FOLD_MULTI):
+        out = f"replace({out}, '{_q(ch)}', '{_q(FOLD_MULTI[ch])}')"
+    return f"translate({out}, '{_q(_SRC)}', '{_q(_DST)}')"
+
+
+def fold_ascii_py(s: str) -> str:
+    """Pure-Python reference of the same table (test oracle)."""
+    for ch in sorted(FOLD_MULTI):
+        s = s.replace(ch, FOLD_MULTI[ch])
+    return s.translate(str.maketrans(FOLD_ONE))

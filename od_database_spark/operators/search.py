@@ -251,6 +251,25 @@ def highlight(df: DataFrame, q: str) -> DataFrame:
     ).withColumn("path_hl", F.regexp_replace("path", pattern, "<mark>$1</mark>"))
 
 
+def index_meta_stats(files: DataFrame, query_log: DataFrame) -> DataFrame:
+    """A9 (search/search.py:432-439): the reference's index meta-stats panel —
+    ES store size + doc count + query count + average query latency — as one
+    aggregation over the fact table and the query_log (database.py:302-313
+    rows; blocked rate added from the SearchLogEntry.blocked column).
+
+    Two single-row partial+final aggregations and a 1×1 cross join: no
+    data-proportional shuffle at any scale."""
+    idx = files.agg(
+        F.count("*").alias("doc_count"), F.sum("size").alias("store_bytes")
+    )
+    ql = query_log.agg(
+        F.count("*").alias("query_count"),
+        F.round(F.avg("took_ms"), 4).alias("avg_took_ms"),
+        F.round(F.avg(F.col("blocked").cast("double")), 4).alias("blocked_rate"),
+    )
+    return idx.crossJoin(ql)
+
+
 def get_link_list(files: DataFrame, websites: DataFrame, website_id: int) -> DataFrame:
     """J5: reconstruct full URLs for one website's docs
     (search/search.py:286-305): base + path + '/'? + name + '.'? + ext."""

@@ -490,10 +490,14 @@ FROM part WHERE contains(lower(p_name), 'wid') ORDER BY p_partkey LIMIT 100
 
 
 def q_blocklist(spark, sf_dir):
-    """F10/Q5: ascii-fold + lower + token-in-blocklist gate
-    (search/filter.py:20-31) applied over document texts."""
+    """F10/Q5: FULL ascii-fold + lower + token-in-blocklist gate
+    (search/filter.py:20-31; fold table = functions/fold.py, the Lucene-style
+    fold the reference's fold_to_ascii submodule implements) over document
+    texts."""
+    from .functions.fold import fold_ascii_col
+
     d = t(spark, sf_dir, "documents")
-    words = F.split(F.translate(F.lower(F.col("text")), "áàâäéèêëíìîïóòôöúùûüñç", "aaaaeeeeiiiioooouuuunc"), " ")
+    words = F.split(F.lower(fold_ascii_col(F.col("text"))), " ")
     blocked = F.arrays_overlap(words, F.array(*[F.lit(b) for b in BLOCKED_TERMS]))
     return (
         d.groupBy("lang")
@@ -505,13 +509,76 @@ def q_blocklist(spark, sf_dir):
     )
 
 
-SQL_BLOCKLIST = """
+def _sql_blocklist() -> str:
+    from .functions.fold import fold_ascii_sql
+
+    return f"""
 SELECT lang,
   CAST(sum(CASE WHEN len(list_intersect(
-        string_split(translate(lower(text), 'áàâäéèêëíìîïóòôöúùûüñç', 'aaaaeeeeiiiioooouuuunc'), ' '),
+        string_split(lower({fold_ascii_sql('text')}), ' '),
         ['spark','vector'])) > 0 THEN 1 ELSE 0 END) AS BIGINT) AS blocked_cnt,
   CAST(count(*) AS BIGINT) AS total_cnt
 FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
+def q_ascii_fold(spark, sf_dir):
+    """X2 exercised cross-engine on NON-LATIN-1 input: deterministically
+    inject accents (incl. Latin-Extended ø/đ/ł and the multi-char ß) into
+    document text, apply the full fold, and return the folded heads.  The
+    injection uses the same translate on both engines, so the oracle match
+    proves the whole fold TABLE, not just the accents the data happens to
+    contain."""
+    from .functions.fold import fold_ascii_col
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 150)
+    accented = F.translate(F.col("text"), "aeiouncdls", "áëîøüñçđłß")
+    folded = fold_ascii_col(accented)
+    return d.select(
+        "doc_id",
+        F.substring(folded, 1, 80).alias("folded_head"),
+        F.length(folded).alias("folded_len"),
+    ).orderBy("doc_id")
+
+
+def _sql_ascii_fold() -> str:
+    from .functions.fold import fold_ascii_sql
+
+    inner = "translate(text, 'aeiouncdls', 'áëîøüñçđłß')"
+    return f"""
+SELECT doc_id, substr({fold_ascii_sql(inner)}, 1, 80) AS folded_head,
+       CAST(length({fold_ascii_sql(inner)}) AS INT) AS folded_len
+FROM documents WHERE doc_id < 150 ORDER BY doc_id
+"""
+
+
+def q_index_meta_stats(spark, sf_dir):
+    """A9: index meta-stats (doc count, store size, query count, avg latency,
+    blocked rate — search/search.py:432-439) through the library operator;
+    documents stand in for the files index and events for the query_log
+    (took_ms = value, blocked = a deterministic id predicate)."""
+    from .operators.search import index_meta_stats
+
+    d = t(spark, sf_dir, "documents").select(F.col("n_chars").alias("size"))
+    ql = t(spark, sf_dir, "events").select(
+        F.col("value").alias("took_ms"),
+        (F.col("event_id") % 13 == 0).alias("blocked"),
+    )
+    return index_meta_stats(d, ql)
+
+
+SQL_INDEX_META_STATS = """
+WITH idx AS (
+  SELECT CAST(count(*) AS BIGINT) AS doc_count,
+         CAST(sum(n_chars) AS BIGINT) AS store_bytes
+  FROM documents),
+ql AS (
+  SELECT CAST(count(*) AS BIGINT) AS query_count,
+         ROUND(avg(value), 4) AS avg_took_ms,
+         ROUND(avg(CASE WHEN event_id % 13 = 0 THEN 1.0 ELSE 0.0 END), 4) AS blocked_rate
+  FROM events)
+SELECT doc_count, store_bytes, query_count, avg_took_ms, blocked_rate
+FROM idx CROSS JOIN ql
 """
 
 
@@ -1182,7 +1249,9 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "multi_match": (q_multi_match, SQL_MULTI_MATCH),
     "trigram_rank": (q_trigram_rank, _sql_trigram_rank()),
     "highlight": (q_highlight, SQL_HIGHLIGHT),
-    "blocklist": (q_blocklist, SQL_BLOCKLIST),
+    "blocklist": (q_blocklist, _sql_blocklist()),
+    "ascii_fold": (q_ascii_fold, _sql_ascii_fold()),
+    "index_meta_stats": (q_index_meta_stats, SQL_INDEX_META_STATS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "lang_id": (q_lang_id, SQL_LANG_ID),
