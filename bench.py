@@ -45,6 +45,11 @@ def log(msg: str) -> None:
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
     from od_database_spark.queries import REGISTRY
 
+    # one untimed warmup query so the alphabetically-first timed query does
+    # not absorb JVM/codegen/parquet-footer warmup
+    warm_fn, _ = REGISTRY["global_totals"]
+    warm_fn(spark, sf_dir).count()
+
     times: dict[str, float] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         t0 = time.time()
@@ -179,8 +184,7 @@ def run_frontier_throughput(spark, n_urls: int) -> dict:
 
     def one_trial() -> tuple[float, int]:
         t0 = time.time()
-        ranked = fr.politeness_rank(frontier, robots, round_seconds=10**9)
-        due = ranked.filter(F.col("_rank") <= F.col("_budget")).drop("_rank", "_budget")
+        due, _carry, cutoffs = fr.politeness_select(frontier, robots, round_seconds=10**9)
         kids = due.select(
             "website_id", "host", "priority",
             (F.col("depth") + 1).alias("depth"),
@@ -196,6 +200,7 @@ def run_frontier_throughput(spark, n_urls: int) -> dict:
         n_new = numbered.count()  # cheap: counts the checkpointed blocks
         el = time.time() - t0
         numbered.unpersist()
+        cutoffs.unpersist()
         return el, n_new
 
     # best-of-3: this sandbox VM shows heavy CPU-steal noise (single runs

@@ -273,45 +273,80 @@ def politeness_select(
     round_seconds: int = ROUND_SECONDS,
     skew_salt: int = 16,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
-    """Two-phase skew-safe politeness selection → (due, carry).
+    """Two-phase skew-safe politeness selection → (due, carry, aux).
+
+    SHUFFLE SHAPE (the 10^10 number that matters): the ranking windows never
+    see the url string — they run over a slim (url_hash, host, priority,
+    discovery_seq) projection (~32 B/row vs ~200 B full rows), and the full
+    frontier is split due/carry by a BROADCAST join against per-host CUTOFF
+    keys, i.e. map-side only: full rows cross ZERO exchanges in the
+    politeness stage.  Selection per host is a strict total order
+    (priority DESC, discovery_seq ASC; seq is globally unique), so "the
+    budget-th selected key" is a complete description of the selected set:
+    due ⇔ (-priority, seq) ≤ cutoff.
 
     Phase 1 ranks within (host, salt-of-url_hash) buckets and keeps only each
     bucket's top-budget rows: any row in a host's GLOBAL top-budget has fewer
     than budget rows ahead of it overall, hence fewer than budget ahead of it
     in its own bucket — so the global winners always survive the pre-prune.
     Phase 2 ranks the survivors (≤ salt×budget rows per host, bounded no
-    matter how big the host) exactly.  Pre-pruned rows are carry, not loss.
+    matter how big the host) exactly and reduces them to one cutoff row per
+    host.  At ≥10^8 distinct hosts the cutoff table outgrows a broadcast —
+    swap the final join to a shuffle join on host; nothing else changes.
 
-    Phase 1 is materialized (localCheckpoint) so the expensive window over
-    the full frontier runs exactly once per round; the caller must unpersist
-    the returned ``due``'s parent when done (expand_round does).
+    Returns (due, carry, aux): the caller unpersists ``aux`` (the tiny
+    cutoff checkpoint) after materializing due/carry (expand_round does).
     """
-    budgeted = frontier.join(
+    slim = frontier.select("url_hash", "host", "priority", "discovery_seq")
+    budgeted = slim.join(
         F.broadcast(robots.select("host", "crawl_delay")), on="host", how="left"
     ).withColumn(
         "_budget",
         F.floor(F.lit(round_seconds) / F.coalesce(F.col("crawl_delay"), F.lit(1.0))).cast("int"),
     ).drop("crawl_delay")
-    salt = F.pmod(F.col("url_hash"), F.lit(skew_salt))
     w1 = Window.partitionBy("host", "_salt").orderBy(
         F.desc("priority"), F.asc("discovery_seq")
     )
     stage1 = (
-        budgeted.withColumn("_salt", salt)
+        budgeted.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(skew_salt)))
         .withColumn("_r1", F.row_number().over(w1))
+        .filter(F.col("_r1") <= F.col("_budget"))  # pre-prune before materializing
         .localCheckpoint(eager=True)
     )
-    pre_carry = stage1.filter(F.col("_r1") > F.col("_budget")).drop("_salt", "_r1", "_budget")
-    cand = stage1.filter(F.col("_r1") <= F.col("_budget"))
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("discovery_seq"))
-    ranked = cand.withColumn("_rank", F.row_number().over(w2))
-    due = ranked.filter(F.col("_rank") <= F.col("_budget")).drop(
-        "_salt", "_r1", "_rank", "_budget"
+    sel = stage1.withColumn("_rank", F.row_number().over(w2)).filter(
+        F.col("_rank") <= F.col("_budget")
     )
-    late = ranked.filter(F.col("_rank") > F.col("_budget")).drop(
-        "_salt", "_r1", "_rank", "_budget"
+    # cutoff = lexicographic max of (-priority, seq) over the selected rows =
+    # the LAST selected key in rank order (rank order ascends on exactly that
+    # tuple); hosts with fewer rows than budget yield their overall max → all
+    # rows pass; hosts with budget 0 have no row here → no rows due.
+    cutoffs = (
+        sel.groupBy("host")
+        .agg(
+            F.max(
+                F.struct(
+                    (-F.col("priority")).alias("np"),
+                    F.col("discovery_seq").alias("seq"),
+                )
+            ).alias("_cut")
+        )
+        .select(
+            "host", F.col("_cut.np").alias("_cut_np"), F.col("_cut.seq").alias("_cut_seq")
+        )
+        .localCheckpoint(eager=True)
     )
-    return due, pre_carry.unionByName(late), stage1
+    stage1.unpersist()  # cutoffs are materialized; the pre-rank is dead
+    joined = frontier.join(F.broadcast(cutoffs), on="host", how="left")
+    np_ = -F.col("priority")
+    is_due = F.coalesce(
+        (np_ < F.col("_cut_np"))
+        | ((np_ == F.col("_cut_np")) & (F.col("discovery_seq") <= F.col("_cut_seq"))),
+        F.lit(False),
+    )
+    due = joined.filter(is_due).drop("_cut_np", "_cut_seq")
+    carry = joined.filter(~is_due).drop("_cut_np", "_cut_seq")
+    return due, carry, cutoffs
 
 
 def _resolve_child(parent: F.Column, link: F.Column) -> F.Column:
@@ -343,16 +378,12 @@ def expand_round(
        image-extension files → image fetch set
     5. enqueue-time dedup: anti-join vs seen; assign dense discovery_seq
     """
-    # two-phase skew-safe selection; stage1 (the materialized pre-rank over
-    # the full frontier) is unpersisted at the end of the round
-    due, carry, stage1 = politeness_select(state.frontier, robots, round_seconds)
-    # the old frontier's blocks are dead once stage1 is materialized —
-    # without this, every round's checkpoint piles up in the block store and
-    # later rounds slow down on GC/eviction pressure
-    try:
-        state.frontier.unpersist()
-    except Exception:
-        pass
+    # two-phase skew-safe selection (slim ranking + broadcast cutoffs); the
+    # tiny cutoff checkpoint is unpersisted at the end of the round.  due and
+    # carry read STRAIGHT from the frontier checkpoint (map-side broadcast
+    # join), so the old frontier must stay persisted until this round's
+    # outputs are materialized below.
+    due, carry, cutoffs = politeness_select(state.frontier, robots, round_seconds)
 
     # robots disallow: path prefix match against the host's disallow list
     due = due.join(
@@ -441,12 +472,18 @@ def expand_round(
         # would silently share pixels
         F.format_string("img_%016x", F.xxhash64("child_url")).alias("image_id"),
     )
-    # materialize the round's outputs, then free the rank checkpoint — its
-    # blocks are unrecoverable after unpersist, so nothing returned may still
-    # depend on it
+    # materialize the round's outputs, then free the cutoff checkpoint and
+    # the OLD frontier — their blocks are unrecoverable after unpersist, so
+    # nothing returned may still depend on them (next_frontier, fetched and
+    # image_urls are all checkpointed by here; without the frontier
+    # unpersist, every round's checkpoint piles up in the block store)
     fetched = fetched.localCheckpoint(eager=True)
     image_urls = image_urls.localCheckpoint(eager=True)
-    stage1.unpersist()
+    cutoffs.unpersist()
+    try:
+        state.frontier.unpersist()
+    except Exception:
+        pass
     new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
 
     bloom = state.bloom
