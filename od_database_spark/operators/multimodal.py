@@ -1,12 +1,15 @@
 """Multimodal columns: opaque binary payloads + typed metadata, processed in
 Arrow batches (training-data pipeline requirement).
 
-Images are fully real (pure-numpy codecs in datagen.images).  Audio/video
-decoding needs codec libraries this container doesn't ship, so those decode
-paths are STUBBED: the Spark-side plumbing — schema, partitioning, UDF
-signature, batch shape — is real and tested, and the stub raises
-NotImplementedError unless the caller opts into the deterministic fake
-(decode_stub='fake'), which synthesizes metadata from a hash of the payload.
+Images are fully real (pure-numpy codecs in datagen.images), and so is
+UNCOMPRESSED AUDIO: WAV/RIFF PCM payloads decode through the pure-numpy
+codec in datagen.audio — extract_audio_features is a real operator for
+meta.fmt == 'wav'.  Compressed audio and video decoding need codec libraries
+this container doesn't ship, so those paths are STUBBED: the Spark-side
+plumbing — schema, partitioning, UDF signature, batch shape — is real and
+tested, and the stub raises NotImplementedError unless the caller opts into
+the deterministic fake (decode_stub='fake'), which synthesizes metadata from
+a hash of the payload.
 """
 
 from __future__ import annotations
@@ -107,29 +110,46 @@ def _fake_u64(payload: bytes, salt: str) -> int:
 
 
 def extract_audio_features(media: DataFrame, decode_stub: str = "raise") -> DataFrame:
-    """STUB: no audio codec in this container.  decode_stub='raise' (default)
-    raises NotImplementedError per row batch; 'fake' emits deterministic
-    metadata derived from the payload hash so the pipeline shape is testable."""
+    """REAL for WAV: meta.fmt == 'wav' payloads decode through the pure-numpy
+    RIFF/PCM codec (datagen.audio) and emit true sample_rate / n_samples /
+    rms.  Compressed formats still need a codec library this container lacks:
+    decode_stub='raise' (default) raises NotImplementedError for them;
+    'fake' emits deterministic hash-derived metadata so the pipeline shape
+    stays testable."""
+    from ..datagen import audio as au
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise" and len(pdf):
-                raise NotImplementedError(
-                    "audio decode requires a codec library (e.g. soundfile/ffmpeg) "
-                    "not present in this environment"
-                )
             out = []
             for r in pdf.itertuples(index=False):
-                h = _fake_u64(r.payload, "audio")
-                out.append(
-                    {
-                        "media_id": r.media_id,
-                        "modality": r.modality,
-                        "sample_rate": 8000 + (h % 5) * 8000,
-                        "n_samples": (h >> 8) % 10**6,
-                        "rms": round((h % 10**4) / 10**4, 6),
-                    }
-                )
+                fmt = (r.meta or {}).get("fmt", "")
+                if fmt == "wav":
+                    rate, samples = au.decode_wav(bytes(r.payload))
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "modality": r.modality,
+                            "sample_rate": rate,
+                            "n_samples": len(samples),
+                            "rms": round(au.rms_of(samples), 6),
+                        }
+                    )
+                elif decode_stub == "raise":
+                    raise NotImplementedError(
+                        f"audio decode for fmt={fmt!r} requires a codec library "
+                        "(e.g. soundfile/ffmpeg) not present in this environment"
+                    )
+                else:
+                    h = _fake_u64(r.payload, "audio")
+                    out.append(
+                        {
+                            "media_id": r.media_id,
+                            "modality": r.modality,
+                            "sample_rate": 8000 + (h % 5) * 8000,
+                            "n_samples": (h >> 8) % 10**6,
+                            "rms": round((h % 10**4) / 10**4, 6),
+                        }
+                    )
             yield pd.DataFrame(
                 out,
                 columns=["media_id", "modality", "sample_rate", "n_samples", "rms"],

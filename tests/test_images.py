@@ -56,6 +56,20 @@ def test_all_formats_per_row_invariant():
         assert row["phash"] == im.phash64(got)
 
 
+def test_image_id_no_collisions_at_1m(spark):
+    """64-bit image ids (img_%016x of xxhash64): no collisions across 10^6
+    distinct URLs — the regression test for the old 32-bit packing, which
+    birthday-collides at this scale and silently shares pixels+captions."""
+    from pyspark.sql import functions as F
+
+    urls = spark.range(1_000_000).select(
+        F.format_string("http://h%d.example/x/img%d.png",
+                        F.pmod("id", F.lit(997)), F.col("id")).alias("u")
+    )
+    ids = urls.select(F.format_string("img_%016x", F.xxhash64("u")).alias("image_id"))
+    assert ids.distinct().count() == 1_000_000
+
+
 def test_phash_similar_vs_different():
     px = im.pixels_for("img_phash", 64, 64)
     h1 = im.phash64(px)
