@@ -10,16 +10,20 @@ from .. import schema
 
 
 def truncate_path(path: str, max_len: int) -> str:
-    """Ref semantics: od_util.py:20-27 — replace leading directories with
-    '.../' until the string fits, else '.../'+basename."""
-    import re
-
-    pattern = re.compile(r"/?.*?/")
+    """X3 semantics (od_util.py:20-27): collapse i leading directories into
+    '.../' each, for the smallest i whose result fits max_len; when nothing
+    fits, '.../'+basename; paths without '/' come back unchanged.  Quirks
+    preserved: an optional leading '/' folds into the first collapsed
+    segment, and each collapsed segment contributes its own '.../'.
+    (Re-expressed as a segment join; the reference iterates a regex sub.)"""
+    if "/" not in path:
+        return path
+    segs = path.lstrip("/").split("/")
     for i in range(1, path.count("/")):
-        new_path = pattern.sub(".../", path, i)
-        if len(new_path) < max_len:
-            return new_path
-    return ".../" + path.rsplit("/", maxsplit=1)[1] if "/" in path else path
+        candidate = ".../" * i + "/".join(segs[i:])
+        if len(candidate) < max_len:
+            return candidate
+    return ".../" + path.rsplit("/", maxsplit=1)[1]
 
 
 def format_date_col(ts: Column) -> Column:

@@ -80,6 +80,25 @@ def export_csv(files: DataFrame, websites: DataFrame, out_dir: str) -> str:
     return path
 
 
+def list_downloads(spark: SparkSession, dl_dir: str) -> DataFrame:
+    """S13+F15 (views.py:25-51): list the downloads directory as a DataFrame —
+    csv files only (the reference's `name.find(".csv") != -1` substring
+    check, quirk preserved), dirs dropped, with size and mtime stats."""
+    rows = []
+    if os.path.isdir(dl_dir):
+        for name in os.listdir(dl_dir):
+            if name.find(".csv") == -1:
+                continue
+            full = os.path.join(dl_dir, name)
+            if not os.path.isfile(full):
+                continue  # "Remove any dirs placed accidentally"
+            st = os.stat(full)
+            rows.append((name, full, int(st.st_size), int(st.st_mtime)))
+    return spark.createDataFrame(
+        rows, "name string, path string, size long, mtime long"
+    ).orderBy("name")
+
+
 def files_from_crawl(fetched_pages: DataFrame) -> DataFrame:
     """Derive the `files` fact table from crawl rounds: every non-directory
     link of a fetched page becomes a file document (the reference receives

@@ -144,3 +144,23 @@ def test_export_csv(files_df, spark):
         assert back.filter(F.col("website_url") == "[DELETED]").count() == 4  # sites 2,3
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_list_downloads_csv_only(spark, tmp_path):
+    """S13+F15 (views.py:25-51): csv-substring filter, dirs dropped."""
+    import os
+
+    from od_database_spark.sources import ndjson as S
+
+    d = tmp_path / "dl"
+    d.mkdir()
+    (d / "export.csv.gz").write_bytes(b"x" * 7)   # '.csv' substring -> kept
+    (d / "export.csv").write_bytes(b"y" * 3)
+    (d / "notes.txt").write_bytes(b"z")           # no '.csv' -> dropped
+    (d / "stuff.csv.d").mkdir()                   # dir -> dropped
+    got = S.list_downloads(spark, str(d)).collect()
+    assert [r["name"] for r in got] == ["export.csv", "export.csv.gz"]
+    assert {r["name"]: r["size"] for r in got} == {"export.csv": 3, "export.csv.gz": 7}
+    assert all(os.path.isabs(r["path"]) or r["path"].startswith(str(d)) for r in got)
+    # empty/missing dir -> empty frame, same schema
+    assert S.list_downloads(spark, str(d / "missing")).count() == 0

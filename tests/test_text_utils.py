@@ -27,3 +27,28 @@ def test_log_search_row(spark):
     ).collect()[0]
     assert row["extensions"] == "mp4,mkv"
     assert row["results"] == 42 and row["search_time"] is not None
+
+
+def test_truncate_path_matches_reference_regex_form():
+    """Property check: the segment-join rewrite equals the reference's
+    regex-substitution algorithm (od_util.py:20-27) on a broad input grid."""
+    import re
+
+    from od_database_spark.functions.text import truncate_path
+
+    def ref(path, max_len):
+        pattern = re.compile(r"/?.*?/")
+        for i in range(1, path.count("/")):
+            new_path = pattern.sub(".../", path, i)
+            if len(new_path) < max_len:
+                return new_path
+        return ".../" + path.rsplit("/", maxsplit=1)[1] if "/" in path else path
+
+    paths = [
+        "a", "a/b", "a/b/c", "a/b/c/d/e/file.txt", "/abs/path/to/thing",
+        "trailing/dir/", "dou//ble", "/x/", "just_a_file.bin",
+        "media/pictures/2019/holiday/beach/IMG_1234.JPG",
+    ]
+    for p in paths:
+        for m in (1, 4, 8, 12, 20, 64):
+            assert truncate_path(p, m) == ref(p, m), (p, m)
