@@ -640,6 +640,61 @@ FROM s GROUP BY lang ORDER BY lang
 """
 
 
+QUALITY_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is", "it", "for", "on")
+
+
+def q_quality_flags(spark, sf_dir):
+    """Per-document quality flags (training-data pipeline gate): punctuation
+    ratio, alphabetic ratio, stopword ratio, and the keep decision a
+    filtering pipeline applies — all native string expressions."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 200)
+    n = F.length("text").cast("double")
+    punct = F.length(F.regexp_replace("text", r"[^.,;:!?]", "")).cast("double")
+    alpha = F.length(F.regexp_replace("text", r"[^a-zA-Z]", "")).cast("double")
+    words = F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != "")
+    n_words = F.size(words).cast("double")
+    stop = F.size(F.filter(words, lambda w: w.isin(*QUALITY_STOPWORDS))).cast("double")
+    punct_ratio = F.round(punct / F.nullif(n, F.lit(0.0)), 4)
+    alpha_ratio = F.round(alpha / F.nullif(n, F.lit(0.0)), 4)
+    stop_ratio = F.round(stop / F.nullif(n_words, F.lit(0.0)), 4)
+    keep = (alpha_ratio >= 0.6) & (punct_ratio <= 0.1) & (n_words >= 5)
+    return (
+        d.select(
+            "doc_id",
+            punct_ratio.alias("punct_ratio"),
+            alpha_ratio.alias("alpha_ratio"),
+            stop_ratio.alias("stop_ratio"),
+            keep.alias("keep"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _sql_quality_flags() -> str:
+    stop_list = ", ".join(f"'{w}'" for w in QUALITY_STOPWORDS)
+    return f"""
+WITH s AS (
+  SELECT doc_id,
+         CAST(length(text) AS DOUBLE) AS n,
+         CAST(length(regexp_replace(text, '[^.,;:!?]', '', 'g')) AS DOUBLE) AS punct,
+         CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) AS alpha,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), w -> w <> '')) AS DOUBLE) AS n_words,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+                              w -> list_contains([{stop_list}], w))) AS DOUBLE) AS stop
+  FROM documents WHERE doc_id < 200),
+r AS (
+  SELECT doc_id,
+         ROUND(punct / NULLIF(n, 0.0), 4) AS punct_ratio,
+         ROUND(alpha / NULLIF(n, 0.0), 4) AS alpha_ratio,
+         ROUND(stop / NULLIF(n_words, 0.0), 4) AS stop_ratio,
+         n_words
+  FROM s)
+SELECT doc_id, punct_ratio, alpha_ratio, stop_ratio,
+       (alpha_ratio >= 0.6 AND punct_ratio <= 0.1 AND n_words >= 5) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
 # character-trigram profiles for the lang-ID heuristic (deterministic; the
 # standard n-gram-profile method, tiny profile per language)
 LANG_PROFILES = {
@@ -1254,6 +1309,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "index_meta_stats": (q_index_meta_stats, SQL_INDEX_META_STATS),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
+    "quality_flags": (q_quality_flags, _sql_quality_flags()),
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
