@@ -1191,6 +1191,7 @@ ORDER BY id_a, id_b LIMIT 200
 
 
 IVF_K = 16  # FIXED centroid count — does not grow with the table
+IVF_NPROBE = 2  # cells searched per query (multi-probe recall knob)
 
 
 def q_embedding_ivf_search(spark, sf_dir):
@@ -1198,7 +1199,8 @@ def q_embedding_ivf_search(spark, sf_dir):
     the IVF_K vectors smallest by md5(vec_id) (a replayable uniform sample —
     the k-means training step is replaced by deterministic selection so the
     oracle can replay it).  Assign each vector to its nearest centroid by L2,
-    then search only the query vector's cell (cosine top 5).
+    then MULTI-PROBE the IVF_NPROBE nearest cells of the query vector
+    (cosine top 5) — the standard nprobe recall knob.
 
     Scale shape: centroid selection is one TakeOrderedAndProject (O(N) scan,
     K-row result); assignment is a BROADCAST cross join (O(N·K) work, no
@@ -1228,11 +1230,20 @@ def q_embedding_ivf_search(spark, sf_dir):
     cells = e.join(best, on="vec_id").select(
         "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
     )
-    qcell = cells.filter(F.col("vec_id") == 0).select(
-        F.col("cell").alias("qc"), F.col("embedding").alias("qe")
+    # the query's IVF_NPROBE nearest cells (tiny: ranks the K assigned
+    # distances of one vector)
+    qw = Window.orderBy(F.asc("d2"), F.asc("cent_id"))
+    qcells = (
+        assigned.filter(F.col("vec_id") == 0)
+        .withColumn("_rn", F.row_number().over(qw))
+        .filter(F.col("_rn") <= IVF_NPROBE)
+        .select(F.col("cent_id").alias("qc"))
     )
-    cands = cells.filter(F.col("vec_id") != 0).join(
-        F.broadcast(qcell), on=F.col("cell") == F.col("qc")
+    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cands = (
+        cells.filter(F.col("vec_id") != 0)
+        .join(F.broadcast(qcells), on=F.col("cell") == F.col("qc"))
+        .crossJoin(F.broadcast(qv))
     )
     dot = F.aggregate(
         F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
@@ -1270,7 +1281,11 @@ cells AS (
   SELECT a.vec_id, e.embedding, a.cent_id AS cell FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
     FROM assigned) a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn = 1),
-q AS (SELECT cell AS qc, embedding AS qe FROM cells WHERE vec_id = 0),
+qcells AS (
+  SELECT cent_id AS qc FROM (
+    SELECT cent_id, row_number() OVER (ORDER BY d2, cent_id) AS rn
+    FROM assigned WHERE vec_id = 0) WHERE rn <= {IVF_NPROBE}),
+q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
 s AS (
   SELECT vec_id,
     list_sum(list_transform(range(1, len(embedding) + 1),
@@ -1279,7 +1294,8 @@ s AS (
              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) *
      sqrt(list_sum(list_transform(range(1, len(qe) + 1),
              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS c
-  FROM cells, q WHERE cell = qc AND vec_id <> 0)
+  FROM cells JOIN qcells ON cells.cell = qcells.qc CROSS JOIN q
+  WHERE vec_id <> 0)
 SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
 """
 
