@@ -46,5 +46,14 @@ def has_partial_aggregation(df: DataFrame) -> bool:
 
 
 def exchange_count(df: DataFrame) -> int:
-    """Number of shuffle exchanges — the scale-cost currency of the plan."""
-    return plan_string(df).count("Exchange")
+    """Number of SHUFFLE exchanges — the scale-cost currency of the plan.
+    BroadcastExchange is deliberately excluded: broadcasts ship a small
+    table once per executor, not the data-proportional rows."""
+    # "simple" mode keeps operator arguments inline ("Exchange
+    # hashpartitioning(...)"); formatted mode splits them onto detail lines
+    plan = plan_string(df, "simple")
+    return sum(
+        plan.count(f"Exchange {kind}")
+        for kind in ("hashpartitioning", "rangepartitioning", "SinglePartition",
+                     "RoundRobinPartitioning")
+    )

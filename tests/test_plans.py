@@ -54,3 +54,74 @@ def test_plan_helpers(spark, sf_dir):
     assert PL.exchange_count(df2) >= 1
     fn3, _ = REGISTRY["filtered_search"]
     assert PL.pushed_filters(fn3(spark, sf_dir))
+
+
+def test_ivf_centroids_fixed_and_broadcast(spark, sf_dir):
+    """IVF scale contract: centroid selection is a top-K (TakeOrdered), the
+    assignment join is broadcast (no shuffle of the fact side), and the
+    arg-min is a partial+final aggregation — the O(N*K) plan, not O(N^2)."""
+    plan = plan_of(spark, sf_dir, "embedding_ivf_search")
+    assert "TakeOrderedAndProject" in plan
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # arg-min via min(struct(...)) compiles to SortAggregate — still
+    # partial+final (map-side combine before the exchange)
+    assert plan.count("SortAggregate") + plan.count("HashAggregate") >= 2
+
+
+def test_politeness_full_rows_never_shuffle(spark):
+    """The politeness split must be a broadcast join on the full-row side:
+    the only exchanges in the due-plan are on the slim ranking projection
+    (url_hash/host/priority/seq), never on rows carrying the url string."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import frontier as fr
+    from od_database_spark.plans import explain as PL
+
+    frontier = spark.range(2000).select(
+        F.format_string("http://h%d.t/d%d/", F.pmod("id", F.lit(37)), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(1).cast("long").alias("website_id"),
+        F.format_string("h%d.t", F.pmod("id", F.lit(37))).alias("host"),
+        (F.pmod("id", F.lit(3)) + 1).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    ).localCheckpoint(eager=True)
+    robots = spark.createDataFrame(
+        [(f"h{i}.t", 1.0, []) for i in range(37)],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+    due, carry, cutoffs = fr.politeness_select(frontier, robots, round_seconds=10)
+    for df in (due, carry):
+        plan = PL.plan_string(df)
+        assert "BroadcastHashJoin" in plan
+        assert "SortMergeJoin" not in plan
+        # the due/carry plans contain no exchange at all: the frontier comes
+        # from a checkpoint and the cutoffs come in via broadcast
+        assert PL.exchange_count(df) == 0, plan
+    # selection semantics sanity: per-host due counts obey the budget
+    per_host = due.groupBy("host").count().collect()
+    assert per_host and all(r["count"] <= 10 for r in per_host)
+    cutoffs.unpersist()
+
+
+def test_banded_lsh_pair_join_is_slim(spark, sf_dir):
+    """Candidate generation must not carry embedding arrays through the
+    bucket self-join: the join keys/payload are (bucket, vec_id) only, and
+    embeddings join back only after distinct pairs."""
+    from od_database_spark.plans import explain as PL
+    from od_database_spark.queries import t as load
+
+    from od_database_spark.operators.dedup import embedding_near_dup
+
+    e = load(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(e, "embedding", "vec_id", threshold=0.25)
+    plan = PL.plan_string(pairs, "simple")
+    # candidate generation and the pair-distinct must shuffle slim key rows
+    # only; embeddings join back per side (broadcast at this SF, keyed by id
+    # at scale) — assert NO shuffle exchange ever carries the array column
+    import re
+
+    m = re.findall(r"Exchange (?:hash|range)partitioning[^\n]*", plan)
+    assert m, plan  # the distinct-pairs exchange at minimum
+    assert all("embedding" not in line for line in m), m
