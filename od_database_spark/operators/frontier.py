@@ -435,11 +435,37 @@ def expand_round(
         )
     )
     # within-round dedup (two parents can link the same dir): earliest in the
-    # round's discovery order wins — same key as the seq assignment below
-    w = Window.partitionBy("url").orderBy(
-        F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")
+    # round's discovery order wins — same key as the seq assignment below.
+    # Arg-min via min(struct(...)) instead of a row_number window: the
+    # aggregation partial-combines map-side, so duplicate children collapse
+    # BEFORE the shuffle ((-priority, parent_seq, link_idx) is unique per
+    # child, so the struct min is the exact window winner).
+    new_urls = (
+        new_urls.groupBy("url")
+        .agg(
+            F.min(
+                F.struct(
+                    (-F.col("priority")).alias("np"),
+                    F.col("parent_seq"),
+                    F.col("link_idx"),
+                    F.col("url_hash"),
+                    F.col("website_id"),
+                    F.col("host"),
+                    F.col("depth"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            "url",
+            F.col("_w.url_hash").alias("url_hash"),
+            F.col("_w.website_id").alias("website_id"),
+            F.col("_w.host").alias("host"),
+            (-F.col("_w.np")).cast("int").alias("priority"),
+            F.col("_w.depth").alias("depth"),
+            F.col("_w.parent_seq").alias("parent_seq"),
+            F.col("_w.link_idx").alias("link_idx"),
+        )
     )
-    new_urls = new_urls.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
 
     new_urls = new_urls.withColumnRenamed("url", "canon_url")
     unseen = seen_ops.filter_unseen(new_urls, state.seen, state.bloom).withColumnRenamed(
