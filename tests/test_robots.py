@@ -1,0 +1,92 @@
+"""robots.txt parsing vs the stdlib robotparser oracle (independent
+implementation of the same REP semantics)."""
+
+import urllib.robotparser
+
+from od_database_spark.functions.robots import parse_robots
+
+SAMPLES = {
+    "simple.example": "User-agent: *\nCrawl-delay: 5\nDisallow: /private/\n",
+    "multi-group.example": (
+        "User-agent: googlebot\nDisallow: /nogoogle/\nCrawl-delay: 9\n"
+        "\n"
+        "User-agent: *\nDisallow: /a/\nDisallow: /b/\nCrawl-delay: 2\n"
+    ),
+    "ua-run.example": (
+        "User-agent: foo\nUser-agent: *\nUser-agent: bar\n"
+        "Disallow: /shared/\nCrawl-delay: 3\n"
+    ),
+    "comments.example": (
+        "# robots\nUser-agent: * # everyone\nDisallow: /x/ # secret\n"
+        "Crawl-delay: 7\nDisallow:\n"
+    ),
+    "no-star.example": "User-agent: googlebot\nDisallow: /g/\nCrawl-delay: 4\n",
+    "empty.example": "",
+    "allow-all.example": "User-agent: *\nDisallow:\n",
+}
+
+PATHS = ["/private/x", "/a/1", "/b/", "/shared/f", "/x/y", "/g/z", "/open/"]
+
+
+def _oracle(txt):
+    rp = urllib.robotparser.RobotFileParser()
+    rp.parse(txt.splitlines())
+    return rp
+
+
+def test_parse_robots_matches_robotparser(spark):
+    raw = spark.createDataFrame(
+        list(SAMPLES.items()), "host string, robots_txt string"
+    )
+    got = {r["host"]: r for r in parse_robots(raw).collect()}
+    assert set(got) == set(SAMPLES)
+    for host, txt in SAMPLES.items():
+        rp = _oracle(txt)
+        expect_delay = rp.crawl_delay("*")
+        assert got[host]["crawl_delay"] == (
+            float(expect_delay) if expect_delay is not None else None
+        ), host
+        prefixes = got[host]["disallow_prefixes"] or []
+        for p in PATHS:
+            blocked = any(p.startswith(pre) for pre in prefixes)
+            assert blocked == (not rp.can_fetch("*", p)), (host, p, prefixes)
+
+
+def test_fractional_crawl_delay_parses(spark):
+    """REP drafts allow fractional crawl-delays; the stdlib robotparser
+    silently drops them (isdigit check), ours keeps them."""
+    raw = spark.createDataFrame(
+        [("f.example", "User-agent: *\nCrawl-delay: 2.5\n")],
+        "host string, robots_txt string",
+    )
+    row = parse_robots(raw).collect()[0]
+    assert row["crawl_delay"] == 2.5
+
+
+def test_parsed_rules_drive_the_scheduler(spark):
+    """End-to-end: raw robots text → parse_robots → politeness_select."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import frontier as fr
+
+    raw = spark.createDataFrame(
+        [("h0.t", "User-agent: *\nCrawl-delay: 30\n"),   # budget 2 per 60s
+         ("h1.t", "User-agent: *\nCrawl-delay: 60\n")],  # budget 1
+        "host string, robots_txt string",
+    )
+    robots = parse_robots(raw).withColumn(
+        "crawl_delay", F.coalesce("crawl_delay", F.lit(1.0))
+    )
+    frontier = spark.range(10).select(
+        F.format_string("http://h%d.t/d%d/", F.pmod("id", F.lit(2)), F.col("id")).alias("url"),
+        F.xxhash64("id").alias("url_hash"),
+        F.lit(1).cast("long").alias("website_id"),
+        F.format_string("h%d.t", F.pmod("id", F.lit(2))).alias("host"),
+        F.lit(1).cast("int").alias("priority"),
+        F.lit(0).cast("int").alias("depth"),
+        F.col("id").alias("discovery_seq"),
+    ).localCheckpoint(eager=True)
+    due, carry, cutoffs = fr.politeness_select(frontier, robots, round_seconds=60)
+    per_host = {r["host"]: r["count"] for r in due.groupBy("host").count().collect()}
+    assert per_host == {"h0.t": 2, "h1.t": 1}
+    cutoffs.unpersist()
