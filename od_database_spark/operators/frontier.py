@@ -211,6 +211,10 @@ class CrawlState:
     seen: DataFrame  # schema.SEEN
     next_seq: int
     bloom: "seen_ops.PartitionedBloom | None" = None
+    # new seen rows since the last DURABLE checkpoint: checkpoint() writes
+    # only this delta (O(new-urls) per round, not O(all-urls-ever) — the
+    # difference between linear and quadratic total checkpoint I/O at 10^10)
+    seen_delta: "DataFrame | None" = None
 
 
 def initial_state(
@@ -238,7 +242,9 @@ def initial_state(
         F.col("priority").cast("int"), F.col("depth").cast("int"), "discovery_seq",
     )
     seen = frontier.select("url", "url_hash")
-    state = CrawlState(round_no=0, frontier=frontier, seen=seen, next_seq=0)
+    state = CrawlState(
+        round_no=0, frontier=frontier, seen=seen, next_seq=0, seen_delta=seen
+    )
     if use_bloom:
         geom = seen_ops.PartitionedBloom.params_for(
             max(expected_total_urls, 1), bloom_parts
@@ -510,7 +516,11 @@ def expand_round(
         state.frontier.unpersist()
     except Exception:
         pass
-    new_seen = state.seen.unionByName(numbered.select("url", "url_hash"))
+    new_rows = numbered.select("url", "url_hash")
+    new_seen = state.seen.unionByName(new_rows)
+    new_delta = (
+        new_rows if state.seen_delta is None else state.seen_delta.unionByName(new_rows)
+    )
 
     bloom = state.bloom
     if bloom is not None:
@@ -530,6 +540,7 @@ def expand_round(
         seen=new_seen,
         next_seq=0,  # packed seqs embed the round; no global counter needed
         bloom=bloom,
+        seen_delta=new_delta,
     )
     return next_state, fetched, image_urls
 
@@ -563,16 +574,28 @@ def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) ->
     lease/reassign loop (tasks.py:93-112, max_assign_time) collapses into
     this: an interrupted round simply re-runs from the last marker.
 
+    The seen set is written as a DELTA (new urls since the previous durable
+    checkpoint), never as a full copy: per-round checkpoint I/O is
+    O(delta), so total I/O over a crawl is O(total urls) instead of
+    O(total × rounds) — at a 10^10-URL frontier the full-copy form writes
+    petabytes of duplicates.  Loaders union the deltas of every completed
+    round (load_checkpoint).
+
     Alongside the state, writes per-partition lineage manifests (which
     partitions contributed how many rows, with content-derived tokens) and an
     optional metrics row — the north rule's lineage + metrics contract.
     """
     rd = os.path.join(ckpt_dir, f"round_{state.round_no:05d}")
-    state.frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
-    state.seen.write.mode("overwrite").parquet(os.path.join(rd, "seen"))
     spark = state.frontier.sparkSession
+    delta = (
+        state.seen_delta
+        if state.seen_delta is not None
+        else spark.createDataFrame([], schema.SEEN)
+    )
+    state.frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
+    delta.write.mode("overwrite").parquet(os.path.join(rd, "seen_delta"))
     lineage = _lineage_manifest(state.frontier, state.round_no, "frontier").unionByName(
-        _lineage_manifest(state.seen, state.round_no, "seen")
+        _lineage_manifest(delta, state.round_no, "seen_delta")
     )
     lineage.write.mode("overwrite").parquet(os.path.join(rd, "lineage"))
     spark.createDataFrame(
@@ -615,11 +638,26 @@ def load_checkpoint(
             raise FileNotFoundError(f"no completed round under {ckpt_dir}")
     rd = os.path.join(ckpt_dir, f"round_{round_no:05d}")
     meta = spark.read.parquet(os.path.join(rd, "meta")).collect()[0]
+    # the seen set = union of every completed round's delta up to round_no
+    # (one multi-path parquet scan — a flat file-source union, no plan growth)
+    delta_dirs = [
+        os.path.join(ckpt_dir, d, "seen_delta")
+        for d in sorted(os.listdir(ckpt_dir))
+        if d.startswith("round_")
+        and int(d.split("_")[1]) <= round_no
+        and os.path.exists(os.path.join(ckpt_dir, d, ".done"))
+        and os.path.isdir(os.path.join(ckpt_dir, d, "seen_delta"))
+    ]
+    if delta_dirs:
+        seen = spark.read.schema(schema.SEEN).parquet(*delta_dirs)
+    else:
+        seen = spark.createDataFrame([], schema.SEEN)
     state = CrawlState(
         round_no=meta["round_no"],
         frontier=spark.read.schema(schema.FRONTIER).parquet(os.path.join(rd, "frontier")),
-        seen=spark.read.schema(schema.SEEN).parquet(os.path.join(rd, "seen")),
+        seen=seen,
         next_seq=meta["next_seq"],
+        seen_delta=None,  # everything durable now; next delta starts empty
     )
     if use_bloom:
         # the bloom is derived state — rebuild from the durable seen table

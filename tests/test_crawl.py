@@ -202,8 +202,10 @@ def test_checkpoint_writes_lineage_and_metrics(spark, world_dfs):
         rd = os.path.join(ckpt, f"round_{state.round_no:05d}")
         lineage = spark.read.parquet(os.path.join(rd, "lineage"))
         rows = lineage.collect()
-        assert {r["table"] for r in rows} == {"frontier", "seen"}
-        seen_total = sum(r["rows"] for r in rows if r["table"] == "seen")
+        assert {r["table"] for r in rows} == {"frontier", "seen_delta"}
+        # delta checkpointing: this is the FIRST checkpoint, so the delta
+        # (seeds + round-1 discoveries) IS the whole seen set
+        seen_total = sum(r["rows"] for r in rows if r["table"] == "seen_delta")
         assert seen_total == state.seen.count()
         assert all(r["token"].startswith((r["table"],)) for r in rows)
         metrics = spark.read.parquet(os.path.join(rd, "metrics")).collect()[0]
@@ -252,3 +254,33 @@ def test_dense_seq_exact_numbering(spark):
     got = sorted((r["discovery_seq"], -r["priority"], r["k"]) for r in out.collect())
     assert [g[0] for g in got] == list(range(10, 510))
     assert got == sorted(got, key=lambda g: (g[1], g[2]))  # seq follows sort key
+
+
+def test_checkpoint_writes_delta_not_full_copy(spark, world_dfs):
+    """Write-amplification contract: round k's checkpoint persists only the
+    urls discovered since the previous checkpoint, never the whole seen set."""
+    import os
+
+    ckpt = tempfile.mkdtemp(prefix="oddb_delta_")
+    try:
+        pages, robots, blacklist = world_dfs
+        seeds = world.gen_seeds(spark, N_HOSTS)
+        empty = spark.createDataFrame([], schema.SEEN)
+        accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+        state = fr.initial_state(accepted)
+        state, _, _ = fr.expand_round(state, pages, robots)
+        state = fr.checkpoint(state, ckpt)
+        seen_after_r1 = state.seen.count()
+        state, _, _ = fr.expand_round(state, pages, robots)
+        state = fr.checkpoint(state, ckpt)
+        seen_after_r2 = state.seen.count()
+        d1 = spark.read.parquet(os.path.join(ckpt, "round_00001", "seen_delta")).count()
+        d2 = spark.read.parquet(os.path.join(ckpt, "round_00002", "seen_delta")).count()
+        assert d1 == seen_after_r1                      # first delta = everything so far
+        assert d2 == seen_after_r2 - seen_after_r1      # second delta = ONLY the new urls
+        assert d2 < seen_after_r2                       # never a full copy
+        # and the loader reassembles the exact set from the deltas
+        loaded = fr.load_checkpoint(spark, ckpt)
+        assert loaded.seen.count() == seen_after_r2
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
