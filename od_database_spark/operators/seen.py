@@ -197,7 +197,21 @@ def filter_unseen(
     )
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    verified_new = needs_check.join(seen_keys, on=cond, how="left_anti")
+    # Exact re-check WITHOUT shuffling the seen table: the maybe-seen sliver
+    # is politeness-bounded and bloom-filtered (≈ true dups + 1% fpp), so it
+    # broadcasts.  seen is then only SCANNED (broadcast semi-join streams
+    # over it — columnar-pruned to two columns, zero exchange of its 10^10
+    # rows), the tiny hit set broadcasts back, and the anti-join is map-side
+    # too.  Semantics identical to the plain anti-join.
+    sliver = needs_check.select(
+        F.col("url_hash").alias("_c_hash"), F.col("canon_url").alias("_c_url")
+    )
+    hits = seen_keys.join(
+        F.broadcast(sliver),
+        on=(F.col("_s_hash") == F.col("_c_hash")) & (F.col("_s_url") == F.col("_c_url")),
+        how="left_semi",
+    )
+    verified_new = needs_check.join(F.broadcast(hits), on=cond, how="left_anti")
     return definite_new.unionByName(verified_new)
 
 

@@ -125,3 +125,31 @@ def test_banded_lsh_pair_join_is_slim(spark, sf_dir):
     m = re.findall(r"Exchange (?:hash|range)partitioning[^\n]*", plan)
     assert m, plan  # the distinct-pairs exchange at minimum
     assert all("embedding" not in line for line in m), m
+
+
+def test_bloom_recheck_never_shuffles_seen(spark):
+    """With the bloom prefilter on, the exact re-check must stream over the
+    seen table via broadcast joins — zero shuffle exchanges in the whole
+    filter_unseen plan (the seen side is only scanned)."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.functions.urls import with_canonical
+    from od_database_spark.operators import seen as seen_ops
+    from od_database_spark.plans import explain as PL
+
+    seen_df = with_canonical(
+        spark.createDataFrame(
+            [(f"http://h{i}.t/",) for i in range(300)], "url string"
+        )
+    ).select(F.col("canon_url").alias("url"), "url_hash").localCheckpoint(eager=True)
+    cand = with_canonical(
+        spark.createDataFrame(
+            [(f"http://h{i}.t/",) for i in range(250, 400)], "url string"
+        )
+    ).localCheckpoint(eager=True)
+    bloom = seen_ops.PartitionedBloom.build(seen_df, n_parts=8)
+    out = seen_ops.filter_unseen(cand, seen_df, bloom)
+    assert PL.exchange_count(out) == 0, PL.plan_string(out, "simple")
+    # and it still answers exactly
+    got = {r["canon_url"] for r in out.collect()}
+    assert got == {f"http://h{i}.t/" for i in range(300, 400)}
