@@ -49,7 +49,15 @@ def run(
 ) -> CrawlResult:
     """Submit the seed list (full dedup chain), run BFS rounds under the
     politeness budget until the frontier drains, then fetch+decode the
-    discovered images.  Returns lazy DataFrames; nothing is collected."""
+    discovered images.  Returns lazy DataFrames; nothing is collected.
+
+    ``robots`` is either the parsed politeness dim (host, crawl_delay,
+    disallow_prefixes) or RAW fetched bodies (host, robots_txt) — raw input
+    is parsed natively through functions.robots.parse_robots."""
+    if "robots_txt" in robots.columns:
+        from .functions.robots import parse_robots
+
+        robots = parse_robots(robots)
     if resume and ckpt_dir is not None and fr.latest_round(ckpt_dir) is not None:
         state = fr.load_checkpoint(
             spark, ckpt_dir, use_bloom=use_bloom, expected_total_urls=expected_total_urls

@@ -67,3 +67,38 @@ def test_partition_scoped_replace(spark):
         assert "PartitionFilters" in plan and "bucket" in plan
     finally:
         shutil.rmtree(d, ignore_errors=True)
+
+
+def test_replace_inserts_new_website(spark):
+    """A website whose bucket exists but that has no rows yet: the replace is
+    a pure insert into that bucket; other buckets untouched."""
+    n_buckets = 4
+    base = spark.range(40).select(
+        (F.col("id") % 10).alias("website_id"),
+        F.lit("p").alias("path"),
+        F.concat(F.lit("f"), F.col("id")).alias("name"),
+        F.lit("txt").alias("ext"),
+        F.col("id").alias("size"),
+    )
+    d = tempfile.mkdtemp(prefix="oddb_fact2_")
+    try:
+        FS.write_files_bucketed(base, d, n_buckets)
+        before = _listing(d)
+        target = 101  # bucket 1; no existing rows for this website
+        new_docs = spark.createDataFrame(
+            [(target, "p", "n0", "bin", 1)],
+            "website_id long, path string, name string, ext string, size long",
+        )
+        FS.replace_website_docs_partitioned(spark, d, new_docs, target, n_buckets)
+        after = _listing(d)
+        changed = {
+            [s for s in rel.split(os.sep) if s.startswith("bucket=")][0]
+            for rel in set(before) | set(after)
+            if before.get(rel) != after.get(rel)
+        }
+        assert changed == {f"bucket={FS.bucket_of(target, n_buckets)}"}
+        got = FS.read_files_bucketed(spark, d)
+        assert got.count() == 41
+        assert got.filter(F.col("website_id") == target).count() == 1
+    finally:
+        shutil.rmtree(d, ignore_errors=True)

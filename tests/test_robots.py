@@ -90,3 +90,39 @@ def test_parsed_rules_drive_the_scheduler(spark):
     per_host = {r["host"]: r["count"] for r in due.groupBy("host").count().collect()}
     assert per_host == {"h0.t": 2, "h1.t": 1}
     cutoffs.unpersist()
+
+
+def test_crawl_run_accepts_raw_robots_txt(spark):
+    """crawl.run fed RAW robots.txt bodies must produce the exact same seen
+    set as the pre-parsed dim (the parser is semantics-neutral in the loop)."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark import crawl
+    from od_database_spark.datagen import world
+
+    n = 10
+    pages = world.gen_pages(spark, n).cache()
+    robots = world.gen_robots(spark, n).cache()
+    blacklist = world.gen_blacklist(spark, n)
+    seeds = world.gen_seeds(spark, n)
+
+    # render the parsed dim back to robots.txt text
+    raw = robots.select(
+        "host",
+        F.concat(
+            F.lit("User-agent: *\n"),
+            F.lit("Crawl-delay: "), F.col("crawl_delay").cast("string"), F.lit("\n"),
+            F.array_join(
+                F.transform(
+                    F.coalesce("disallow_prefixes", F.array()),
+                    lambda p: F.concat(F.lit("Disallow: "), p),
+                ),
+                "\n",
+            ),
+        ).alias("robots_txt"),
+    )
+    r_parsed = crawl.run(spark, seeds, pages, robots, blacklist, fetch=False)
+    r_raw = crawl.run(spark, seeds, pages, raw, blacklist, fetch=False)
+    seen_p = {x["url"] for x in r_parsed.state.seen.collect()}
+    seen_r = {x["url"] for x in r_raw.state.seen.collect()}
+    assert seen_p == seen_r and seen_p
