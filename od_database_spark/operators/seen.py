@@ -283,9 +283,12 @@ def filter_is_od(candidates: DataFrame, pages: DataFrame) -> DataFrame:
         & (F.col("_p_link_tags") <= 5)
         & (F.col("_p_script_tags") <= 7)
     )
-    # ftp:// roots skip the heuristic (od_util.py:181-185: liveness only)
+    # ftp:// roots: LIVENESS only (od_util.py:180-185 — FTP login succeeds),
+    # i.e. the page row must exist, but the HTTP tag heuristics never apply
     is_ftp = F.col("canon_url").startswith("ftp://")
-    return joined.filter(is_ftp | ok).drop(
+    return joined.filter(
+        (is_ftp & F.col("_p_url").isNotNull()) | (~is_ftp & ok)
+    ).drop(
         "_p_url", "_p_redirects", "_p_link_tags", "_p_script_tags", "_p_external"
     )
 

@@ -38,7 +38,8 @@ class Oracle:
 
     def _is_od(self, url: str) -> bool:
         if url.startswith("ftp://"):
-            return True
+            # od_util.py:180-185: FTP login liveness only, no tag heuristics
+            return url in self.pages
         page = self.pages.get(url)
         if page is None or page["redirects"]:
             return False

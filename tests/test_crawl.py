@@ -284,3 +284,29 @@ def test_checkpoint_writes_delta_not_full_copy(spark, world_dfs):
         assert loaded.seen.count() == seen_after_r2
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_ftp_liveness_required(spark, world_dfs):
+    """S10 parity (od_util.py:180-185): an ftp root is accepted iff the
+    server responds (page row exists); HTTP tag heuristics never apply to
+    ftp, and a dead ftp server is rejected."""
+    pages, _, blacklist = world_dfs
+    live_ftp = None
+    for r in pages.select("url").collect():
+        if r["url"].startswith("ftp://") and r["url"].count("/") == 3:
+            live_ftp = r["url"]
+            break
+    assert live_ftp is not None, "world should contain ftp roots"
+    cand = with_canonical(
+        spark.createDataFrame(
+            [(live_ftp, 0, 1), ("ftp://deadserver.example/", 1, 1)],
+            "url string, submit_seq long, priority int",
+        ),
+        "url",
+    )
+    got = {
+        r["canon_url"]
+        for r in seen_ops.filter_is_od(cand, pages).select("canon_url").collect()
+    }
+    assert live_ftp in got
+    assert "ftp://deadserver.example/" not in got
