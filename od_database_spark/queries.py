@@ -1154,6 +1154,44 @@ SELECT doc_id, ({bits}) AS simhash FROM w ORDER BY doc_id LIMIT 100
 """
 
 
+def q_simhash_neardup(spark, sf_dir):
+    """SimHash near-duplicate PAIRS: hamming distance over the 60-bit
+    fingerprints, candidate pairs blocked by the top 16 bits so the self-join
+    is bucket-local (operators/dedup.simhash_near_pairs as an oracle-checked
+    query; at scale: multi-probe over bit rotations for recall)."""
+    from .operators.dedup import simhash_near_pairs
+
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    return (
+        simhash_near_pairs(d, "text", "doc_id", max_hamming=24)
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )
+
+
+def _sql_simhash_neardup() -> str:
+    bits = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(hs, h -> CASE WHEN (h >> {i}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END)) > 0 THEN CAST({1 << i} AS BIGINT) ELSE 0 END)"
+        for i in range(60)
+    )
+    return f"""
+WITH w AS (
+  SELECT doc_id,
+         list_transform(list_distinct(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')),
+                        x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
+  FROM documents WHERE doc_id < 300),
+s AS (SELECT doc_id, ({bits}) AS sh FROM w),
+k AS (SELECT doc_id, sh, sh >> 44 AS block FROM s),
+p AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.sh, b.sh)) AS hamming
+  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id)
+SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 24
+ORDER BY id_a, id_b LIMIT 200
+"""
+
+
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs through the LSH buckets — the
     dedup-pipeline form (operators/dedup.embedding_near_dup) as an
@@ -1334,6 +1372,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
     "embedding_ivf_search": (q_embedding_ivf_search, SQL_EMBEDDING_IVF),
     "simhash": (q_simhash, _sql_simhash()),
+    "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
