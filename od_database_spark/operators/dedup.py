@@ -160,6 +160,10 @@ def ann_band_buckets(emb: Column, tables: list | None = None) -> Column:
     bands × 2^rows scales with the parameters (queries.ann_planes), so
     in-bucket candidate pair counts stay bounded as the corpus grows — the
     multi-table banding fix for the fixed-256-bucket ceiling."""
+    # NOTE (measured, don't redo): expanding the dots as explicit 64-term
+    # element_at sums looks codegen-friendly but is 6-7x SLOWER here — the
+    # 24-plane × 64-dim expression tree blows past the codegen budget and
+    # falls back to interpreted eval of a huge tree.  The HOF fold stays.
     tables = ANN_TABLES if tables is None else tables
     cols = []
     for b, planes in enumerate(tables):

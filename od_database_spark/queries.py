@@ -1071,18 +1071,24 @@ def q_embedding_bucket_search(spark, sf_dir):
     from .operators.dedup import ann_band_buckets
 
     e = t(spark, sf_dir, "embeddings")
-    keyed = e.select(
-        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
-    )
-    qb = keyed.filter(F.col("vec_id") == 0).select("bucket")
-    cand_ids = (
-        keyed.filter(F.col("vec_id") != 0)
-        .join(F.broadcast(qb), on="bucket", how="left_semi")
-        .select("vec_id")
-        .distinct()
+    # phase 1 (query planning): resolve the query vector's band buckets —
+    # one pushed-down single-row scan, ANN_BANDS literal keys out.  This is
+    # what an ANN index lookup does at scale: the corpus-side scan then
+    # filters on literals instead of recomputing its bucket keys twice for
+    # a self-join.
+    q_buckets = [
+        r["bucket"]
+        for r in e.filter(F.col("vec_id") == 0)
+        .select(F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket"))
+        .collect()
+    ]
+    keyed = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "embedding", ann_band_buckets(F.col("embedding")).alias("_bks")
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    cands = e.join(cand_ids, on="vec_id").crossJoin(F.broadcast(qv))
+    cands = keyed.filter(
+        F.arrays_overlap("_bks", F.array(*[F.lit(b) for b in q_buckets]))
+    ).crossJoin(F.broadcast(qv))
     dot = F.aggregate(
         F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
