@@ -44,15 +44,16 @@ def _word_shingles(text: Column, k: int = 3) -> Column:
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """8 minhash values per document over word-3-gram shingles."""
-    # hash each DISTINCT shingle once (vocabulary << occurrences in web-scale
-    # text) and join the codes back before the per-doc min aggregation
+    """8 minhash values per document over word-3-gram shingles.
+
+    Hashes per OCCURRENCE (no vocab-distinct join): the only shuffle is the
+    per-doc groupBy, partial-combined map-side to 8 mins per doc — strictly
+    less exchange volume than joining occurrences by shingle string."""
     ex = df.select(F.col(id_col), F.explode(_word_shingles(F.col(text_col))).alias("shingle"))
-    vocab = ex.select("shingle").distinct().withColumn(
-        "_h", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
-    )
     return (
-        ex.join(vocab, on="shingle")
+        ex.withColumn(
+            "_h", F.conv(F.substring(F.md5("shingle"), 1, 12), 16, 10).cast("long")
+        )
         .groupBy(id_col)
         .agg(
             *[
