@@ -48,6 +48,22 @@ def read_files_bucketed(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def append_docs(files: DataFrame, path: str, n_buckets: int = N_BUCKETS) -> None:
+    """S3 bulk index sink (search/search.py:136,152-176): append-only batch
+    ingest into the bucketed layout — new files land in their website's
+    bucket partition, existing files untouched.  The reference's 10k-doc
+    bulk batching collapses into Spark's task batching; retries = task
+    retries."""
+    (
+        files.withColumn(
+            "bucket", F.pmod(F.col("website_id"), F.lit(n_buckets)).cast("int")
+        )
+        .write.mode("append")
+        .partitionBy("bucket")
+        .parquet(path)
+    )
+
+
 def replace_website_docs_partitioned(
     spark: SparkSession,
     path: str,
