@@ -163,28 +163,47 @@ def extract_audio_features(media: DataFrame, decode_stub: str = "raise") -> Data
 def sample_video_frames(
     media: DataFrame, every_n: int = 10, decode_stub: str = "raise"
 ) -> DataFrame:
-    """STUB: no video codec available.  Shape: one output row per sampled
-    frame (row-expanding mapInPandas, the real frame-sampling contract)."""
+    """REAL for the odv frame container: meta.fmt == 'odv' payloads walk the
+    container, decode every n-th PNG frame for real and emit its perceptual
+    hash — one output row per sampled frame (row-expanding mapInPandas).
+    Compressed video still needs ffmpeg/pyav this container lacks:
+    decode_stub='raise' (default) raises for those; 'fake' emits
+    deterministic hash-derived rows so the pipeline shape stays testable."""
+    from ..datagen import video as vid
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            if decode_stub == "raise" and len(pdf):
-                raise NotImplementedError(
-                    "video decode requires ffmpeg/pyav, not present in this environment"
-                )
             out = []
             for r in pdf.itertuples(index=False):
-                h = _fake_u64(r.payload, "video")
-                n_frames = 30 + h % 120
-                for idx in range(0, n_frames, every_n):
-                    out.append(
-                        {
-                            "media_id": r.media_id,
-                            "modality": r.modality,
-                            "frame_idx": idx,
-                            "frame_phash": (_fake_u64(r.payload, f"f{idx}") % (1 << 63)),
-                        }
+                fmt = (r.meta or {}).get("fmt", "")
+                if fmt == "odv":
+                    for idx, px in vid.decode_frames(bytes(r.payload)):
+                        if idx % every_n == 0:
+                            out.append(
+                                {
+                                    "media_id": r.media_id,
+                                    "modality": r.modality,
+                                    "frame_idx": idx,
+                                    "frame_phash": im.phash64(px),
+                                }
+                            )
+                elif decode_stub == "raise":
+                    raise NotImplementedError(
+                        f"video decode for fmt={fmt!r} requires ffmpeg/pyav, "
+                        "not present in this environment"
                     )
+                else:
+                    h = _fake_u64(r.payload, "video")
+                    n_frames = 30 + h % 120
+                    for idx in range(0, n_frames, every_n):
+                        out.append(
+                            {
+                                "media_id": r.media_id,
+                                "modality": r.modality,
+                                "frame_idx": idx,
+                                "frame_phash": (_fake_u64(r.payload, f"f{idx}") % (1 << 63)),
+                            }
+                        )
             yield pd.DataFrame(
                 out, columns=["media_id", "modality", "frame_idx", "frame_phash"]
             )
