@@ -164,3 +164,28 @@ def test_list_downloads_csv_only(spark, tmp_path):
     assert all(os.path.isabs(r["path"]) or r["path"].startswith(str(d)) for r in got)
     # empty/missing dir -> empty frame, same schema
     assert S.list_downloads(spark, str(d / "missing")).count() == 0
+
+
+def test_index_meta_stats_over_query_log(spark):
+    """A9: log_search rows (database.py:302-313) aggregate through
+    index_meta_stats (search/search.py:432-439 panel)."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.functions.text import log_search
+    from od_database_spark.operators.search import index_meta_stats
+
+    logs = None
+    for i, (q, blocked, took) in enumerate(
+        [("spark files", False, 120), ("bad term", True, 5), ("more", False, 80)]
+    ):
+        row = log_search(spark, f"10.0.0.{i}", None, q, ["mp4"], 0, blocked, i, took)
+        logs = row if logs is None else logs.unionByName(row)
+    ql = logs.select(F.col("took").alias("took_ms"), "blocked")
+    files = spark.createDataFrame(
+        [(1, 100), (2, 300)], "website_id long, size long"
+    )
+    got = index_meta_stats(files, ql).collect()[0]
+    assert got["doc_count"] == 2 and got["store_bytes"] == 400
+    assert got["query_count"] == 3
+    assert abs(got["avg_took_ms"] - round((120 + 5 + 80) / 3, 4)) < 1e-9
+    assert abs(got["blocked_rate"] - round(1 / 3, 4)) < 1e-9
