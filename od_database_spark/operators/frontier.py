@@ -613,6 +613,32 @@ def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) ->
     return load_checkpoint(spark, ckpt_dir, state.round_no)
 
 
+def compact_checkpoints(spark: SparkSession, ckpt_dir: str) -> int:
+    """Fold every completed round's seen_delta into the LATEST round's delta
+    and drop the older round dirs — the LSM-style compaction that bounds the
+    loader's file fan-in on long crawls (resume-to-latest stays exact; the
+    retention trade is losing resume-to-earlier rounds, the standard
+    checkpoint-retention policy).  Returns the surviving round number."""
+    latest = latest_round(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no completed round under {ckpt_dir}")
+    state = load_checkpoint(spark, ckpt_dir, latest)  # union of all deltas
+    rd = os.path.join(ckpt_dir, f"round_{latest:05d}")
+    tmp = os.path.join(rd, "seen_delta__compacting")
+    state.seen.write.mode("overwrite").parquet(tmp)
+    live = os.path.join(rd, "seen_delta")
+    old = os.path.join(rd, "seen_delta__old")
+    os.rename(live, old)
+    os.rename(tmp, live)
+    import shutil
+
+    shutil.rmtree(old, ignore_errors=True)
+    for d in os.listdir(ckpt_dir):
+        if d.startswith("round_") and int(d.split("_")[1]) < latest:
+            shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+    return latest
+
+
 def latest_round(ckpt_dir: str) -> int | None:
     if not os.path.isdir(ckpt_dir):
         return None

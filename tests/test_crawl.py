@@ -310,3 +310,33 @@ def test_ftp_liveness_required(spark, world_dfs):
     }
     assert live_ftp in got
     assert "ftp://deadserver.example/" not in got
+
+
+def test_compact_checkpoints(spark, world_dfs):
+    """Compaction folds all deltas into the latest round and drops older
+    dirs; the reloaded seen set is identical."""
+    import os
+
+    ckpt = tempfile.mkdtemp(prefix="oddb_compact_")
+    try:
+        pages, robots, blacklist = world_dfs
+        seeds = world.gen_seeds(spark, N_HOSTS)
+        empty = spark.createDataFrame([], schema.SEEN)
+        accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+        state = fr.initial_state(accepted)
+        for _ in range(3):
+            state, _, _ = fr.expand_round(state, pages, robots)
+            state = fr.checkpoint(state, ckpt)
+        before = {r["url"] for r in state.seen.collect()}
+        surviving = fr.compact_checkpoints(spark, ckpt)
+        assert surviving == state.round_no
+        dirs = [d for d in os.listdir(ckpt) if d.startswith("round_")]
+        assert dirs == [f"round_{surviving:05d}"]
+        loaded = fr.load_checkpoint(spark, ckpt)
+        after = {r["url"] for r in loaded.seen.collect()}
+        assert after == before
+        # and the crawl can keep going from the compacted checkpoint
+        nxt, _, _ = fr.expand_round(loaded, pages, robots)
+        assert nxt.round_no == surviving + 1
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
