@@ -273,12 +273,15 @@ def filter_is_od(candidates: DataFrame, pages: DataFrame) -> DataFrame:
         F.col("script_tag_count").alias("_p_script_tags"),
         _external(F.col("links"), F.col("url")).alias("_p_external"),
     )
+    # INNER join: every accepted candidate needs its page row (missing page
+    # = dead server = rejected on both the http and ftp branches), and an
+    # inner join lets AQE broadcast the SMALL candidate side instead of
+    # shuffling the page table (a left join could only broadcast the right).
     joined = candidates.join(
-        page_feats, on=candidates["canon_url"] == page_feats["_p_url"], how="left"
+        page_feats, on=candidates["canon_url"] == page_feats["_p_url"], how="inner"
     )
     ok = (
-        F.col("_p_url").isNotNull()
-        & ~F.col("_p_redirects")
+        ~F.col("_p_redirects")
         & (F.col("_p_external") <= 11)
         & (F.col("_p_link_tags") <= 5)
         & (F.col("_p_script_tags") <= 7)
@@ -286,9 +289,7 @@ def filter_is_od(candidates: DataFrame, pages: DataFrame) -> DataFrame:
     # ftp:// roots: LIVENESS only (od_util.py:180-185 — FTP login succeeds),
     # i.e. the page row must exist, but the HTTP tag heuristics never apply
     is_ftp = F.col("canon_url").startswith("ftp://")
-    return joined.filter(
-        (is_ftp & F.col("_p_url").isNotNull()) | (~is_ftp & ok)
-    ).drop(
+    return joined.filter(is_ftp | ok).drop(
         "_p_url", "_p_redirects", "_p_link_tags", "_p_script_tags", "_p_external"
     )
 
@@ -335,10 +336,16 @@ def climb_to_top(candidates: DataFrame, pages: DataFrame) -> DataFrame:
         parent = F.when(
             child_name != "", F.regexp_replace(F.col("canon_url"), r"[^/]+/$", "")
         ).otherwise(F.col("canon_url"))
-        stepped = (
-            out.withColumn("_parent", parent)
-            .withColumn("_child", child_name)
-            .join(page_ok, on=F.col("_parent") == F.col("_parent_url"), how="left")
+        with_parent = out.withColumn("_parent", parent).withColumn("_child", child_name)
+        # pre-prune the page table to just the parents this level needs —
+        # broadcast semi-join, so the big pages side is SCANNED, never
+        # shuffled; the remaining left join is tiny × tiny
+        needed = with_parent.select(F.col("_parent").alias("_need")).distinct()
+        page_lvl = page_ok.join(
+            F.broadcast(needed), on=F.col("_parent_url") == F.col("_need"), how="left_semi"
+        )
+        stepped = with_parent.join(
+            F.broadcast(page_lvl), on=F.col("_parent") == F.col("_parent_url"), how="left"
         )
         can_climb = (
             (F.col("_child") != "")  # path == "/" → already at the root
