@@ -27,6 +27,7 @@ _SPECIAL = {
     "đ": "d", "Đ": "D", "ħ": "h", "Ħ": "H", "ı": "i", "ĸ": "k",
     "ł": "l", "Ł": "L", "ŋ": "n", "Ŋ": "N", "ŧ": "t", "Ŧ": "T",
     "ƀ": "b", "ƃ": "b", "Ƃ": "B", "ƈ": "c", "Ƈ": "C", "ɖ": "d",
+    "Ə": "E", "ə": "e", "Ǝ": "E", "ǝ": "e",
     "ƒ": "f", "Ƒ": "F", "ǥ": "g", "Ǥ": "G", "ʒ": "s", "Ʒ": "S",
     "ﬁ": "fi", "ﬂ": "fl", "ﬀ": "ff", "ﬃ": "ffi", "ﬄ": "ffl", "ﬆ": "st",
     # typographic punctuation the filter normalizes
@@ -38,9 +39,35 @@ _SPECIAL = {
 _RANGES = ((0x00C0, 0x0250), (0x1E00, 0x1F00))
 
 
-def _build() -> tuple[dict[str, str], dict[str, str]]:
+import re as _re
+
+# Unicode-name fallback for Latin letters with NO decomposition (hooked /
+# implosive / turned Latin Extended-B forms: Ɓ, Ɗ, Ƙ, ƴ, …) — exactly what
+# Lucene's hand-written table covers; the base letter comes from the
+# character name "LATIN CAPITAL/SMALL LETTER <base> [WITH ...]".
+_NAME_RE = _re.compile(
+    r"^LATIN (CAPITAL|SMALL) LETTER "
+    r"(?:TURNED |REVERSED |SCRIPT |DOTLESS |CLOSED |SIDEWAYS |INSULAR |OPEN |AFRICAN |LONG )*"
+    r"([A-Z]{1,2})\b(?: WITH .*)?$"
+)
+
+
+def _name_fold(ch: str) -> str | None:
+    try:
+        name = unicodedata.name(ch)
+    except ValueError:
+        return None
+    m = _NAME_RE.match(name)
+    if not m:
+        return None
+    case, base = m.groups()
+    return base if case == "CAPITAL" else base.lower()
+
+
+def _build() -> tuple[dict[str, str], dict[str, str], set[str]]:
     one: dict[str, str] = {}
     multi: dict[str, str] = {}
+    unfoldable: set[str] = set()
     for lo, hi in _RANGES:
         for cp in range(lo, hi):
             ch = chr(cp)
@@ -50,14 +77,18 @@ def _build() -> tuple[dict[str, str], dict[str, str]]:
             folded = "".join(
                 c for c in d if ord(c) < 128 and not unicodedata.combining(c)
             )
+            if not folded or folded == ch:
+                folded = _name_fold(ch) or ""
             if folded and folded != ch:
                 (one if len(folded) == 1 else multi)[ch] = folded
+            else:
+                unfoldable.add(ch)
     for ch, rep in _SPECIAL.items():
         (one if len(rep) == 1 else multi)[ch] = rep
-    return one, multi
+    return one, multi, unfoldable
 
 
-FOLD_ONE, FOLD_MULTI = _build()
+FOLD_ONE, FOLD_MULTI, FOLD_UNFOLDABLE = _build()
 _SRC = "".join(sorted(FOLD_ONE))
 _DST = "".join(FOLD_ONE[c] for c in sorted(FOLD_ONE))
 

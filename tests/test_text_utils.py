@@ -52,3 +52,41 @@ def test_truncate_path_matches_reference_regex_form():
     for p in paths:
         for m in (1, 4, 8, 12, 20, 64):
             assert truncate_path(p, m) == ref(p, m), (p, m)
+
+
+def test_fold_properties():
+    """Property checks on the full fold table: idempotent everywhere, pure
+    ASCII on the covered Latin ranges, identity on plain ASCII."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from od_database_spark.functions.fold import fold_ascii_py
+
+    latin = st.text(
+        alphabet=st.one_of(
+            st.characters(min_codepoint=0x20, max_codepoint=0x7E),
+            st.characters(min_codepoint=0xC0, max_codepoint=0x24F),
+            st.characters(min_codepoint=0x1E00, max_codepoint=0x1EFF),
+        ),
+        max_size=40,
+    )
+
+    from od_database_spark.functions.fold import FOLD_UNFOLDABLE
+
+    @settings(max_examples=200, deadline=None)
+    @given(latin)
+    def check(s):
+        folded = fold_ascii_py(s)
+        assert fold_ascii_py(folded) == folded  # idempotent
+        # covered ranges fold to ASCII except the documented residue (IPA /
+        # click / tone letters with no Latin base, math signs)
+        assert all(ord(c) < 128 or c in FOLD_UNFOLDABLE for c in folded), folded
+
+    check()
+
+    @settings(max_examples=100, deadline=None)
+    @given(st.text(alphabet=st.characters(min_codepoint=0x20, max_codepoint=0x7E), max_size=40))
+    def check_ascii_identity(s):
+        assert fold_ascii_py(s) == s
+
+    check_ascii_identity()
