@@ -1236,6 +1236,121 @@ ORDER BY id_a, id_b LIMIT 200
 """
 
 
+def q_embedding_batch_ann(spark, sf_dir):
+    """BATCH ANN join — the curation-pipeline shape: top-3 nearest corpus
+    vectors for EVERY query vector (vec_id % 41 == 7) in one job, candidates
+    restricted to shared banded-LSH buckets.  The bucket join carries only
+    (id, bucket); embeddings join back per side after distinct pairs; top-k
+    per query is a bounded window (WindowGroupLimit)."""
+    from .operators.dedup import ann_band_buckets
+
+    e = t(spark, sf_dir, "embeddings")
+    is_q = F.col("vec_id") % 41 == 7
+    keyed = e.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+    )
+    qk = keyed.filter(is_q).select(F.col("vec_id").alias("q_id"), "bucket")
+    ck = keyed.filter(~is_q).select(F.col("vec_id").alias("c_id"), "bucket")
+    pairs = qk.join(ck, on="bucket").select("q_id", "c_id").distinct()
+    norm = F.sqrt(
+        F.aggregate(
+            F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+    eq = e.select(F.col("vec_id").alias("q_id"), F.col("embedding").alias("_eq"), norm.alias("_nq"))
+    ec = e.select(F.col("vec_id").alias("c_id"), F.col("embedding").alias("_ec"), norm.alias("_nc"))
+    dot = F.aggregate(
+        F.zip_with("_eq", "_ec", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    scored = (
+        pairs.join(eq, on="q_id")
+        .join(ec, on="c_id")
+        .select("q_id", "c_id", F.round(dot / (F.col("_nq") * F.col("_nc")), 4).alias("cos"))
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos"), F.asc("c_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .orderBy("q_id", "rnk")
+    )
+
+
+def _sql_embedding_batch_ann() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, embedding, {_sql_band_buckets()} AS buckets,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+  FROM embeddings),
+k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e),
+p AS (
+  SELECT DISTINCT q.vec_id AS q_id, c.vec_id AS c_id
+  FROM k q JOIN k c ON q.bucket = c.bucket
+  WHERE q.vec_id % 41 = 7 AND c.vec_id % 41 <> 7),
+s AS (
+  SELECT p.q_id, p.c_id,
+    ROUND(list_sum(list_transform(range(1, len(eq.embedding) + 1),
+          i -> CAST(eq.embedding[i] AS DOUBLE) * CAST(ec.embedding[i] AS DOUBLE)))
+          / (eq.n * ec.n), 4) AS cos
+  FROM p JOIN e eq ON eq.vec_id = p.q_id JOIN e ec ON ec.vec_id = p.c_id),
+r AS (SELECT q_id, c_id, cos,
+             row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id) AS rnk
+      FROM s)
+SELECT q_id, c_id, cos, CAST(rnk AS INT) AS rnk FROM r WHERE rnk <= 3
+ORDER BY q_id, rnk
+"""
+
+
+def q_embedding_dedup_keep(spark, sf_dir):
+    """Dedup KEEP-LIST: the pipeline step after near-dup pair generation —
+    greedy-by-id policy (drop any vector that near-duplicates a smaller id;
+    deterministic, single pass, the standard web-corpus keeper rule).
+    Output: kept-count and dropped-count per label."""
+    from .operators.dedup import embedding_near_dup
+
+    e = t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(e, "embedding", "vec_id", threshold=0.25)
+    drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
+    flagged = e.join(drops.withColumn("_drop", F.lit(True)), on="vec_id", how="left")
+    return (
+        flagged.groupBy("label")
+        .agg(
+            F.sum(F.when(F.col("_drop"), 0).otherwise(1)).alias("kept"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("dropped"),
+        )
+        .orderBy("label")
+    )
+
+
+def _sql_embedding_dedup_keep() -> str:
+    return f"""
+WITH e AS (
+  SELECT vec_id, label, embedding, {_sql_band_buckets()} AS buckets,
+         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+              i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
+  FROM embeddings),
+k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e),
+p AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM k a JOIN k b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+c AS (
+  SELECT p.id_b
+  FROM p JOIN e ea ON ea.vec_id = p.id_a JOIN e eb ON eb.vec_id = p.id_b
+  WHERE ROUND(list_sum(list_transform(range(1, len(ea.embedding) + 1),
+        i -> CAST(ea.embedding[i] AS DOUBLE) * CAST(eb.embedding[i] AS DOUBLE)))
+        / (ea.n * eb.n), 4) >= 0.25),
+d AS (SELECT DISTINCT id_b AS vec_id FROM c)
+SELECT label,
+       CAST(sum(CASE WHEN e.vec_id IN (SELECT vec_id FROM d) THEN 0 ELSE 1 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN e.vec_id IN (SELECT vec_id FROM d) THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM e GROUP BY label ORDER BY label
+"""
+
+
 IVF_K = 16  # FIXED centroid count — does not grow with the table
 IVF_NPROBE = 2  # cells searched per query (multi-probe recall knob)
 
@@ -1382,6 +1497,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
+    "embedding_batch_ann": (q_embedding_batch_ann, _sql_embedding_batch_ann()),
+    "embedding_dedup_keep": (q_embedding_dedup_keep, _sql_embedding_dedup_keep()),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
     "rolling_fingerprint": (q_rolling_fingerprint, SQL_ROLLING_FINGERPRINT),
 }
