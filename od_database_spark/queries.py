@@ -916,6 +916,41 @@ SELECT doc_a, doc_b, jaccard FROM j WHERE jaccard >= 0.2 ORDER BY doc_a, doc_b
 """
 
 
+def q_text_dedup_keep(spark, sf_dir):
+    """Text dedup KEEP-LIST — the documents-pipeline end state: MinHash-LSH
+    candidates → exact Jaccard verification (≥ 0.2) → greedy-by-id keeper
+    policy (drop the larger id of every verified pair) → per-lang
+    kept/dropped counts."""
+    d = t(spark, sf_dir, "documents")
+    verified = q_ngram_jaccard(spark, sf_dir)  # (doc_a, doc_b, jaccard)
+    drops = verified.select(F.col("doc_b").alias("doc_id")).distinct()
+    flagged = d.join(drops.withColumn("_drop", F.lit(True)), on="doc_id", how="left")
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("_drop"), 0).otherwise(1)).alias("kept"),
+            F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("dropped"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _sql_text_dedup_keep() -> str:
+    return _sql_minhash_cte() + """,
+sd AS (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh),
+j AS (
+  SELECT c.doc_b
+  FROM cand c JOIN sd a ON a.doc_id = c.doc_a JOIN sd b ON b.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.2),
+drops AS (SELECT DISTINCT doc_b AS doc_id FROM j)
+SELECT lang,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM drops) THEN 0 ELSE 1 END) AS BIGINT) AS kept,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM drops) THEN 1 ELSE 0 END) AS BIGINT) AS dropped
+FROM documents GROUP BY lang ORDER BY lang
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings table (query
     = vec_id 0), double accumulation in array order on both engines."""
@@ -1490,6 +1525,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "lang_id": (q_lang_id, SQL_LANG_ID),
     "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
+    "text_dedup_keep": (q_text_dedup_keep, _sql_text_dedup_keep()),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
