@@ -62,6 +62,10 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.maxPlanStringLength", "16384")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # let a table bucketed on url_hash satisfy joins keyed on
+        # (url_hash, url): subset co-partitioning keeps the bucketed side
+        # shuffle-free (operators/seen_store.py); physical-plan-only knob
+        .config("spark.sql.requireAllClusterKeysForCoPartition", "false")
     )
     if not SparkSession.getActiveSession():
         builder = builder.master(os.environ.get("ODDB_MASTER", f"local[{cpus}]"))
