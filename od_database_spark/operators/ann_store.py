@@ -1,0 +1,175 @@
+"""Persisted ANN index tables: build-once / query-many.
+
+The round-2 ANN queries recomputed bucket keys / IVF cell assignments over
+the whole corpus on every invocation.  The reference's analog is the ES
+inverted/trigram index (search/search.py:59-87) — built once at ingest,
+READ per query.  This module is that ingest step for the vector side:
+
+- ``ensure_lsh_index``: the banded-LSH bucket table — slim (vec_id, bucket)
+  rows, one per (vector, band), stored BUCKETED + SORTED BY ``bucket``.
+  Lookups filter on literal bucket keys (pushed + bucket-pruned to the
+  matching bucket files); batch self-joins on ``bucket`` are co-located on
+  both sides (zero exchange of the index rows).
+- ``ensure_ivf_index``: the IVF coarse index — a K-row centroid table plus
+  the inverted lists: (vec_id, embedding) PARTITIONED BY cell, so probing
+  nprobe cells reads nprobe/K of the data (partition pruning / DPP) and the
+  candidate embeddings come straight off the index, no join back.
+
+Build cost is one pass over the corpus per index (the same expressions the
+inline queries used — results are bit-identical); the tables live in the
+session catalog keyed by the source path, and rebuild only when the source
+row count changes.  At 10^10 vectors the build is the ingest job and the
+queries here are the steady-state path.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..queries import ANN_BANDS, IVF_K, t
+
+N_BUCKETS = 16  # catalog bucket count for the LSH table (files per append)
+
+# per-session memo: table name -> validated against the current source
+_VALIDATED: set[str] = set()
+
+
+def _key(sf_dir: str) -> str:
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
+
+
+def _table_ok(spark: SparkSession, name: str, expected_rows: int) -> bool:
+    if not spark.catalog.tableExists(name):
+        return False
+    return spark.table(name).count() == expected_rows
+
+
+def _drop_stale(spark: SparkSession, name: str) -> None:
+    """Fresh sessions get a fresh in-memory catalog, but managed-table files
+    from an earlier session survive under the warehouse dir and block
+    saveAsTable with LOCATION_ALREADY_EXISTS — drop both table and files."""
+    import shutil
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+
+
+def build_lsh_table(emb: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> None:
+    """One exploded (vec_id, bucket) row per (vector, band), bucketed+sorted
+    by bucket.  Same ann_band_buckets expressions as the inline queries —
+    the stored keys are bit-identical to a per-query recompute."""
+    from .dedup import ann_band_buckets
+
+    keyed = emb.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+    )
+    (
+        keyed.write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the LSH bucket table for ``sf_dir``'s embeddings;
+    returns the catalog table name.  Rebuilds when the stored row count
+    doesn't match the source (source regenerated / params changed)."""
+    name = f"ann_buckets_{_key(sf_dir)}"
+    if name in _VALIDATED:
+        return name
+    emb = t(spark, sf_dir, "embeddings")
+    expected = emb.count() * ANN_BANDS
+    if not _table_ok(spark, name, expected):
+        _drop_stale(spark, name)
+        build_lsh_table(emb, name)
+    _VALIDATED.add(name)
+    return name
+
+
+def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
+    """IVF build pass: deterministic K-centroid selection (TakeOrdered on
+    md5(vec_id) — a replayable uniform sample), broadcast O(N·K) assignment,
+    arg-min per vector; the inverted lists (vec_id, embedding) land
+    PARTITIONED BY cell so the query side prunes to its probed cells."""
+    cents = (
+        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
+        .limit(IVF_K)
+    )
+    cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
+    spark = emb.sparkSession
+    cents_tbl = spark.table(cents_name)
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cent",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = emb.crossJoin(F.broadcast(cents_tbl)).select(
+        "vec_id", "cent_id", l2.alias("d2")
+    )
+    best = assigned.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
+    )
+    cells = emb.join(best, on="vec_id").select(
+        "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
+    )
+    (
+        cells.write.mode("overwrite")
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(cells_name)
+    )
+
+
+def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Idempotent IVF build; returns (centroids_table, cells_table)."""
+    key = _key(sf_dir)
+    cents_name, cells_name = f"ivf_cents_{key}", f"ivf_cells_{key}"
+    if cells_name in _VALIDATED:
+        return cents_name, cells_name
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    if not (
+        _table_ok(spark, cents_name, min(IVF_K, n))
+        and _table_ok(spark, cells_name, n)
+    ):
+        _drop_stale(spark, cents_name)
+        _drop_stale(spark, cells_name)
+        build_ivf_tables(emb, cents_name, cells_name)
+    _VALIDATED.add(cells_name)
+    return cents_name, cells_name
+
+
+def query_cells(qv: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
+    """The query vector's ``nprobe`` nearest coarse cells (L2 to the K
+    centroids — a K-row ranking, broadcast everywhere it's used)."""
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cent",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.orderBy(F.asc("d2"), F.asc("cent_id"))
+    return (
+        qv.crossJoin(F.broadcast(cents))
+        .select(F.col("cent_id"), l2.alias("d2"))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= nprobe)
+        .select(F.col("cent_id").alias("qc"))
+    )

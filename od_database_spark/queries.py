@@ -1100,32 +1100,33 @@ FROM documents ORDER BY doc_id LIMIT 200
 
 
 def q_embedding_bucket_search(spark, sf_dir):
-    """ANN query through the banded-LSH index: candidates = vectors sharing
-    ANY band bucket with the query (semi-join on slim (id, bucket) keys),
-    then brute-force cosine only over the candidates (top 5) — the scale
-    path where the full corpus is never cosine-scanned per query and the
-    arrays never ride the candidate-generation shuffle."""
+    """ANN query through the PERSISTED banded-LSH index (operators/
+    ann_store.py): the query vector's band buckets are resolved from the
+    vector itself (one pushed-down single-row scan, ANN_BANDS literal keys
+    out), the index table is filtered on those literals (pushed IN filter +
+    bucket pruning — only the matching bucket files are read; the corpus
+    NEVER recomputes its bucket keys at query time), and brute-force cosine
+    runs only over the candidate ids (top 5)."""
+    from .operators import ann_store
     from .operators.dedup import ann_band_buckets
 
     e = t(spark, sf_dir, "embeddings")
-    # phase 1 (query planning): resolve the query vector's band buckets —
-    # one pushed-down single-row scan, ANN_BANDS literal keys out.  This is
-    # what an ANN index lookup does at scale: the corpus-side scan then
-    # filters on literals instead of recomputing its bucket keys twice for
-    # a self-join.
+    idx = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
+    # phase 1 (query planning): the query's own bucket keys — an O(bands)
+    # computation on ONE vector, what an index lookup does at scale.
     q_buckets = [
         r["bucket"]
         for r in e.filter(F.col("vec_id") == 0)
         .select(F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket"))
         .collect()
     ]
-    keyed = e.filter(F.col("vec_id") != 0).select(
-        "vec_id", "embedding", ann_band_buckets(F.col("embedding")).alias("_bks")
+    cand_ids = (
+        idx.filter((F.col("vec_id") != 0) & F.col("bucket").isin(q_buckets))
+        .select("vec_id")
+        .distinct()
     )
     qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
-    cands = keyed.filter(
-        F.arrays_overlap("_bks", F.array(*[F.lit(b) for b in q_buckets]))
-    ).crossJoin(F.broadcast(qv))
+    cands = e.join(cand_ids, on="vec_id", how="left_semi").crossJoin(F.broadcast(qv))
     dot = F.aggregate(
         F.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -1274,16 +1275,16 @@ ORDER BY id_a, id_b LIMIT 200
 def q_embedding_batch_ann(spark, sf_dir):
     """BATCH ANN join — the curation-pipeline shape: top-3 nearest corpus
     vectors for EVERY query vector (vec_id % 41 == 7) in one job, candidates
-    restricted to shared banded-LSH buckets.  The bucket join carries only
-    (id, bucket); embeddings join back per side after distinct pairs; top-k
-    per query is a bounded window (WindowGroupLimit)."""
-    from .operators.dedup import ann_band_buckets
+    restricted to shared banded-LSH buckets.  Both sides of the bucket join
+    READ the persisted index table (operators/ann_store.py) — bucketed by
+    ``bucket``, so the self-join is co-located (zero exchange of the index
+    rows); embeddings join back per side after distinct pairs; top-k per
+    query is a bounded window (WindowGroupLimit)."""
+    from .operators import ann_store
 
     e = t(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % 41 == 7
-    keyed = e.select(
-        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
-    )
+    keyed = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
     qk = keyed.filter(is_q).select(F.col("vec_id").alias("q_id"), "bucket")
     ck = keyed.filter(~is_q).select(F.col("vec_id").alias("c_id"), "bucket")
     pairs = qk.join(ck, on="bucket").select("q_id", "c_id").distinct()
@@ -1398,44 +1399,21 @@ def q_embedding_ivf_search(spark, sf_dir):
     then MULTI-PROBE the IVF_NPROBE nearest cells of the query vector
     (cosine top 5) — the standard nprobe recall knob.
 
-    Scale shape: centroid selection is one TakeOrderedAndProject (O(N) scan,
-    K-row result); assignment is a BROADCAST cross join (O(N·K) work, no
-    shuffle of the fact side); the arg-min is a map-side-combined groupBy of
-    slim (vec_id, d2, cent_id) rows.  Nothing here grows with N except the
-    single linear pass — the fix for the old centroids-∝-N O(N²) plan."""
+    Scale shape: the index is PERSISTED (operators/ann_store.py — built once:
+    TakeOrdered centroid selection, broadcast O(N·K) assignment, map-side
+    arg-min); the query path reads the K-row centroid table to rank its
+    IVF_NPROBE cells, then probes the cells table — inverted lists
+    PARTITIONED BY cell, so only nprobe/K of the index is read and the
+    candidate embeddings come straight off the index with no join back."""
+    from .operators import ann_store
+
     e = t(spark, sf_dir, "embeddings")
-    cents = (
-        e.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
-        .limit(IVF_K)
-    )
-    l2 = F.aggregate(
-        F.zip_with(
-            "embedding", "cent",
-            lambda x, y: (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    assigned = e.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cent_id", l2.alias("d2")
-    )
-    best = assigned.groupBy("vec_id").agg(
-        F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
-    )
-    cells = e.join(best, on="vec_id").select(
-        "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
-    )
-    # the query's IVF_NPROBE nearest cells (tiny: ranks the K assigned
-    # distances of one vector)
-    qw = Window.orderBy(F.asc("d2"), F.asc("cent_id"))
-    qcells = (
-        assigned.filter(F.col("vec_id") == 0)
-        .withColumn("_rn", F.row_number().over(qw))
-        .filter(F.col("_rn") <= IVF_NPROBE)
-        .select(F.col("cent_id").alias("qc"))
-    )
-    qv = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("qe"))
+    cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
+    cents = spark.table(cents_tbl)
+    cells = spark.table(cells_tbl)
+    qrow = e.filter(F.col("vec_id") == 0)
+    qcells = ann_store.query_cells(qrow, cents, IVF_NPROBE)
+    qv = qrow.select(F.col("embedding").alias("qe"))
     cands = (
         cells.filter(F.col("vec_id") != 0)
         .join(F.broadcast(qcells), on=F.col("cell") == F.col("qc"))

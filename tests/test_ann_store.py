@@ -1,0 +1,94 @@
+"""Persisted ANN index tables (operators/ann_store.py): build-once /
+query-many semantics plus the plan properties that make the index worth
+persisting — pushed bucket filters, co-located self-joins, and dynamic
+partition pruning on the IVF cells."""
+
+import re
+
+import pytest
+from pyspark.sql import functions as F
+
+from od_database_spark.operators import ann_store as AS
+from od_database_spark.plans import explain as PL
+from od_database_spark.queries import ANN_BANDS, REGISTRY, t
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clean_tables(spark, sf_dir):
+    yield
+    key = AS._key(sf_dir)
+    for name in (f"ann_buckets_{key}", f"ivf_cents_{key}", f"ivf_cells_{key}"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        AS._VALIDATED.discard(name)
+
+
+def test_lsh_index_build_once_and_rebuild_on_mismatch(spark, sf_dir):
+    name = AS.ensure_lsh_index(spark, sf_dir)
+    n = t(spark, sf_dir, "embeddings").count()
+    assert spark.table(name).count() == n * ANN_BANDS
+    # second call is a memo hit — no rebuild (table object identity can't be
+    # asserted; assert the validation memo instead)
+    assert name in AS._VALIDATED
+    assert AS.ensure_lsh_index(spark, sf_dir) == name
+    # a stale table (wrong row count, e.g. source regenerated) rebuilds
+    AS._VALIDATED.discard(name)
+    spark.sql(f"DROP TABLE {name}")
+    AS._drop_stale(spark, name)
+    spark.createDataFrame([(1, "0:0")], "vec_id long, bucket string").write.mode(
+        "overwrite"
+    ).format("parquet").saveAsTable(name)
+    assert AS.ensure_lsh_index(spark, sf_dir) == name
+    assert spark.table(name).count() == n * ANN_BANDS
+
+
+def test_bucket_search_reads_index_with_pushed_bucket_filter(spark, sf_dir):
+    """The corpus side must NOT recompute bucket keys at query time: the
+    only scans in the plan are (a) the index table with a pushed In(bucket)
+    literal filter and (b) vec_id-filtered embeddings scans (the query row
+    and the candidate join-back)."""
+    fn, _ = REGISTRY["embedding_bucket_search"]
+    plan = PL.plan_string(fn(spark, sf_dir))
+    assert "ann_buckets_" in plan
+    assert re.search(r"PushedFilters:.*In\(bucket", plan), plan
+    assert "EqualTo(vec_id,0)" in plan  # the 1-row query-vector scan
+
+
+def test_batch_ann_bucket_self_join_is_colocated(spark, sf_dir):
+    """Both sides of the candidate join read the bucketed index table; with
+    broadcast disabled the join must be exchange-free on both inputs (the
+    only shuffles are the pair-distinct and the final ordering)."""
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fn, _ = REGISTRY["embedding_batch_ann"]
+        plan = PL.plan_string(fn(spark, sf_dir), "simple")
+        assert plan.count("Bucketed: true") >= 2, plan
+        ex = re.findall(r"Exchange (?:hash|range)partitioning\([^\n]*", plan)
+        assert ex  # pair-distinct at minimum
+        assert all("bucket" not in line for line in ex), ex
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_ivf_probe_prunes_cells(spark, sf_dir):
+    """The cells scan must carry a dynamic-partition-pruning filter on cell
+    (only the nprobe probed inverted lists are read) and need no join back
+    to the base table for the candidate embeddings."""
+    fn, _ = REGISTRY["embedding_ivf_search"]
+    plan = PL.plan_string(fn(spark, sf_dir))
+    assert "ivf_cells_" in plan
+    assert "dynamicpruning" in plan, plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_store_backed_results_match_inline_recompute(spark, sf_dir):
+    """The persisted keys are bit-identical to a fresh recompute."""
+    from od_database_spark.operators.dedup import ann_band_buckets
+
+    name = AS.ensure_lsh_index(spark, sf_dir)
+    emb = t(spark, sf_dir, "embeddings")
+    inline = emb.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+    )
+    assert spark.table(name).exceptAll(inline).count() == 0
+    assert inline.exceptAll(spark.table(name)).count() == 0
