@@ -131,26 +131,58 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def simhash_near_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance, blocked by the top 16 bits
-    so the join is bucket-local (at scale: multi-probe over bit rotations).
-
-    Fingerprints are MATERIALIZED before the self-join — recomputing the
-    60-bit hash on both join sides costs ~3x (measured); at corpus scale
-    you'd persist them to a fingerprint table instead (16 B/doc)."""
-    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
-    keyed = sh.withColumn("block", F.shiftright("simhash", SIMHASH_BITS - 16))
+def near_pairs_from_fingerprints(
+    sh: DataFrame, id_col: str, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Hamming near-dup pairs from a (id, simhash) fingerprint table via
+    MULTI-PROBE sub-block banding: the 60 bits split into ``bands`` disjoint
+    sub-blocks; candidates join on (band, block).  Pigeonhole guarantee: a
+    pair within hamming ≤ bands-1 cannot differ in every sub-block, so it
+    shares at least one exact (band, block) key — recall is EXACT for
+    hamming ≤ bands-1 (the round-2 top-16-bit blocking silently missed any
+    pair whose differing bits touched the block).  Join rows stay slim:
+    (id, 8-byte fingerprint, band, block)."""
+    width = SIMHASH_BITS // bands
+    mask = F.lit((1 << width) - 1)
+    keyed = sh.select(
+        F.col(id_col),
+        F.col("simhash"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright("simhash", b * width).bitwiseAND(mask).alias("block"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("_bb"),
+    ).select(id_col, "simhash", F.col("_bb.band").alias("band"), F.col("_bb.block").alias("block"))
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
-        a.join(b, on="block")
+        a.join(b, on=["band", "block"])
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
             hamming64(F.col("a.simhash"), F.col("b.simhash")).alias("hamming"),
         )
+        .distinct()  # a pair sharing several sub-blocks joins once per band
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_pairs(
+    df: DataFrame, text_col: str, id_col: str, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance over text — fingerprints
+    MATERIALIZED before the self-join (recomputing the 60-bit hash on both
+    join sides costs ~3x, measured; at corpus scale persist them to a
+    fingerprint table, 16 B/doc), candidates via multi-probe sub-block
+    banding (near_pairs_from_fingerprints)."""
+    sh = simhash(df, text_col, id_col).localCheckpoint(eager=False)
+    return near_pairs_from_fingerprints(sh, id_col, max_hamming, bands)
 
 
 def _dot(a: Column, b: Column) -> Column:

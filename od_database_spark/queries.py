@@ -1200,14 +1200,16 @@ SELECT doc_id, ({bits}) AS simhash FROM w ORDER BY doc_id LIMIT 100
 
 def q_simhash_neardup(spark, sf_dir):
     """SimHash near-duplicate PAIRS: hamming distance over the 60-bit
-    fingerprints, candidate pairs blocked by the top 16 bits so the self-join
-    is bucket-local (operators/dedup.simhash_near_pairs as an oracle-checked
-    query; at scale: multi-probe over bit rotations for recall)."""
+    fingerprints, candidates via MULTI-PROBE sub-block banding (4 disjoint
+    15-bit blocks; pigeonhole: every pair within hamming ≤ 3 is guaranteed
+    found, and in practice far beyond — the round-2 single-top-16-bit
+    blocking missed any pair whose differing bits touched the block).
+    operators/dedup.simhash_near_pairs as an oracle-checked query."""
     from .operators.dedup import simhash_near_pairs
 
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
     return (
-        simhash_near_pairs(d, "text", "doc_id", max_hamming=24)
+        simhash_near_pairs(d, "text", "doc_id", max_hamming=24, bands=4)
         .orderBy("id_a", "id_b")
         .limit(200)
     )
@@ -1226,11 +1228,13 @@ WITH w AS (
                         x -> CAST(('0x' || substr(md5(x), 1, 15)) AS BIGINT)) AS hs
   FROM documents WHERE doc_id < 300),
 s AS (SELECT doc_id, ({bits}) AS sh FROM w),
-k AS (SELECT doc_id, sh, sh >> 44 AS block FROM s),
+k AS (SELECT doc_id, sh, band, (sh >> (band * 15)) & 32767 AS block
+      FROM s CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS band) bands),
 p AS (
-  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
          bit_count(xor(a.sh, b.sh)) AS hamming
-  FROM k a JOIN k b ON a.block = b.block AND a.doc_id < b.doc_id)
+  FROM k a JOIN k b ON a.band = b.band AND a.block = b.block
+                    AND a.doc_id < b.doc_id)
 SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM p WHERE hamming <= 24
 ORDER BY id_a, id_b LIMIT 200
 """

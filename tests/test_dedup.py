@@ -80,6 +80,36 @@ def test_simhash_near_pairs(docs):
     assert (0, 3) not in pairs
 
 
+def test_simhash_multiprobe_recall_exact_below_bands(spark):
+    """Pigeonhole recall guarantee: with 4 sub-blocks, EVERY pair within
+    hamming ≤ 3 must be found — including pairs whose differing bits all sit
+    in the top 16 bits, which the round-2 single-block scheme missed."""
+    rng = np.random.default_rng(23)
+    fps = [int(x) for x in rng.integers(0, 1 << 60, size=40, dtype=np.uint64)]
+    # adversarial near-pairs: flip 1-3 bits entirely inside the TOP 15 bits
+    # (the old top-16-bit block) of the first ten fingerprints
+    for i in range(10):
+        flips = rng.choice(range(45, 60), size=(i % 3) + 1, replace=False)
+        y = fps[i]
+        for b in flips:
+            y ^= 1 << int(b)
+        fps.append(y)
+    rows = [(i, fp) for i, fp in enumerate(fps)]
+    sh = spark.createDataFrame(rows, "doc_id long, simhash long")
+    got = {(r["id_a"], r["id_b"])
+           for r in D.near_pairs_from_fingerprints(sh, "doc_id", max_hamming=3).collect()}
+    brute = {
+        (a, b)
+        for a in range(len(fps))
+        for b in range(a + 1, len(fps))
+        if bin(fps[a] ^ fps[b]).count("1") <= 3
+    }
+    missed = brute - got
+    assert not missed, f"multi-probe banding missed {len(missed)} pairs: {sorted(missed)[:5]}"
+    # and nothing beyond the hamming bound leaks through
+    assert all(bin(fps[a] ^ fps[b]).count("1") <= 3 for a, b in got)
+
+
 def test_embedding_near_dup_matches_numpy(spark):
     rng = np.random.default_rng(7)
     base = rng.normal(size=(6, 16)).astype(np.float32)
