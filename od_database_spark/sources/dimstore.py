@@ -2,21 +2,28 @@
 (database.py:59-150) as a small versioned-parquet dim (SURVEY.md S8).
 
 Dims are tiny relative to the fact table (one row per website vs millions of
-files per site), so each mutation rewrites the dim atomically — a temp dir +
-rename, the parquet analog of one Postgres transaction.  ids are
-deterministic xxhash64(url) (SURVEY X9: the reference's SERIAL id is a
-Postgres artifact; replayability needs content-derived ids).
+files per site), so each mutation rewrites the dim — the parquet analog of
+one Postgres transaction.  ids are deterministic xxhash64(url) (SURVEY X9:
+the reference's SERIAL id is a Postgres artifact; replayability needs
+content-derived ids).
 
-Readers (`load`) always see a complete committed version.  At 10^8 websites
-the dim is a few GB — still a single overwrite, and still broadcastable
-joins on the query side (J1-J3).
+Commit protocol (object-store portable): each mutation writes an IMMUTABLE
+new version dir ``v{n}/`` beside the live ones, then atomically flips a tiny
+``_LATEST`` pointer file (os.replace locally; a single-object PUT on S3/GCS
+— no directory rename of big data, which object stores don't have).  Readers
+resolve the pointer once per load and then read only that immutable dir, so
+a reader concurrent with a commit sees either the old or the new version,
+always complete; a crash mid-commit leaves the pointer on the old version.
+The previous version is retained one generation for in-flight readers.
+
+At 10^8 websites the dim is a few GB — versions write in parallel (no
+coalesce(1)) and stay broadcastable on the query side (J1-J3).
 """
 
 from __future__ import annotations
 
 import os
 import shutil
-import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -33,21 +40,39 @@ WEBSITES_DIM = T.StructType(
 )
 
 
+def _latest_version(path: str) -> str | None:
+    """The committed version name from the pointer file, or None."""
+    ptr = os.path.join(path, "_LATEST")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        v = f.read().strip()
+    return v or None
+
+
 def load(spark: SparkSession, path: str) -> DataFrame:
-    if not os.path.isdir(path):
+    v = _latest_version(path)
+    if v is None:
         return spark.createDataFrame([], WEBSITES_DIM)
-    return spark.read.schema(WEBSITES_DIM).parquet(path)
+    return spark.read.schema(WEBSITES_DIM).parquet(os.path.join(path, v))
 
 
 def _commit(dim: DataFrame, path: str) -> None:
-    """Atomic replace: write a new version beside the live dir, then swap."""
-    tmp = f"{path}__tmp_{uuid.uuid4().hex[:8]}"
-    dim.coalesce(1).write.mode("overwrite").parquet(tmp)
-    old = f"{path}__old_{uuid.uuid4().hex[:8]}"
-    if os.path.isdir(path):
-        os.rename(path, old)
-    os.rename(tmp, path)
-    shutil.rmtree(old, ignore_errors=True)
+    """Versioned commit: write an immutable v{n}/ dir, flip the _LATEST
+    pointer atomically, GC versions older than the previous one."""
+    os.makedirs(path, exist_ok=True)
+    cur = _latest_version(path)
+    n = int(cur[1:]) + 1 if cur else 1
+    vdir = f"v{n:05d}"
+    dim.write.mode("overwrite").parquet(os.path.join(path, vdir))
+    tmp = os.path.join(path, "_LATEST.tmp")
+    with open(tmp, "w") as f:
+        f.write(vdir)
+    os.replace(tmp, os.path.join(path, "_LATEST"))  # single atomic pointer op
+    keep = {vdir, cur}
+    for d in os.listdir(path):
+        if d.startswith("v") and d not in keep:
+            shutil.rmtree(os.path.join(path, d), ignore_errors=True)
 
 
 def insert_websites(spark: SparkSession, path: str, rows: DataFrame) -> DataFrame:

@@ -53,6 +53,54 @@ def test_dim_crud_roundtrip(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_reader_mid_commit_sees_complete_version(spark):
+    """The commit protocol must never leave a window where the live dim is
+    missing or partial: a reader that resolved the pointer BEFORE the flip
+    keeps reading its complete old version; one that resolves after sees the
+    complete new one.  (The round-2 rename-swap had a window where no live
+    dir existed at all.)"""
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix="oddb_dimv_")
+    path = f"{d}/websites"
+    try:
+        rows = spark.createDataFrame(
+            [("http://a.example/", "1.2.3.4", "ua1")],
+            "url string, logged_ip string, logged_useragent string",
+        )
+        DS.insert_websites(spark, path, rows)
+        v1 = DS._latest_version(path)
+        old_reader = DS.load(spark, path)  # resolves the pointer NOW
+
+        # simulate the first half of a commit: new version dir fully written,
+        # pointer not yet flipped — the old reader and fresh loads both still
+        # see the complete v1
+        newdim = DS.load(spark, path).withColumn("logged_ip", F.lit("9.9.9.9"))
+        newdim.write.mode("overwrite").parquet(os.path.join(path, "v00002"))
+        assert DS._latest_version(path) == v1
+        assert old_reader.count() == 1
+        assert DS.load(spark, path).collect()[0]["logged_ip"] == "1.2.3.4"
+
+        # a real commit flips the pointer atomically and retains v1 for the
+        # in-flight reader
+        more = spark.createDataFrame(
+            [("http://b.example/", "5.6.7.8", "ua2")],
+            "url string, logged_ip string, logged_useragent string",
+        )
+        DS.insert_websites(spark, path, more)
+        assert DS._latest_version(path) != v1
+        assert os.path.isdir(os.path.join(path, v1))  # previous gen retained
+        assert old_reader.count() == 1  # old reader unbroken
+        assert DS.load(spark, path).count() == 2
+
+        # one more commit GCs v1 (two generations back)
+        DS.update_website_date_if_exists(spark, path, 0)
+        assert not os.path.isdir(os.path.join(path, v1))
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_append_docs_bucketed(spark):
     import tempfile as tf
 
