@@ -46,6 +46,7 @@ def run(
     use_bloom: bool = True,
     expected_total_urls: int = 1_000_000,
     fetch: bool = True,
+    compact_every: int = 8,
 ) -> CrawlResult:
     """Submit the seed list (full dedup chain), run BFS rounds under the
     politeness budget until the frontier drains, then fetch+decode the
@@ -94,6 +95,12 @@ def run(
                     "images_found": images.count(),
                 },
             )
+            if compact_every and state.round_no > 0 and state.round_no % compact_every == 0:
+                # bound the loader's delta-file fan-in on long crawls; the
+                # in-memory state points at dirs compaction deletes, so
+                # reload from the surviving round
+                fr.compact_checkpoints(spark, ckpt_dir)
+                state = fr.load_checkpoint(spark, ckpt_dir)
             state.bloom = bloom  # carry the in-memory filter across the reload
 
     images_df = None

@@ -215,6 +215,11 @@ class CrawlState:
     # only this delta (O(new-urls) per round, not O(all-urls-ever) — the
     # difference between linear and quadratic total checkpoint I/O at 10^10)
     seen_delta: "DataFrame | None" = None
+    # operational run identity: stamped into every round's meta and the
+    # ckpt_dir's _RUN file so a loader can detect (and refuse) round dirs
+    # left behind by a DIFFERENT run in a reused ckpt_dir — silently
+    # unioning a stale run's seen deltas re-crawls or wrongly skips URLs
+    run_id: str | None = None
 
 
 def initial_state(
@@ -242,8 +247,11 @@ def initial_state(
         F.col("priority").cast("int"), F.col("depth").cast("int"), "discovery_seq",
     )
     seen = frontier.select("url", "url_hash")
+    import uuid
+
     state = CrawlState(
-        round_no=0, frontier=frontier, seen=seen, next_seq=0, seen_delta=seen
+        round_no=0, frontier=frontier, seen=seen, next_seq=0, seen_delta=seen,
+        run_id=uuid.uuid4().hex[:12],  # operational marker, not a data id
     )
     if use_bloom:
         geom = seen_ops.PartitionedBloom.params_for(
@@ -541,6 +549,7 @@ def expand_round(
         next_seq=0,  # packed seqs embed the round; no global counter needed
         bloom=bloom,
         seen_delta=new_delta,
+        run_id=state.run_id,
     )
     return next_state, fetched, image_urls
 
@@ -587,6 +596,7 @@ def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) ->
     """
     rd = os.path.join(ckpt_dir, f"round_{state.round_no:05d}")
     spark = state.frontier.sparkSession
+    run_id = _establish_run(ckpt_dir, state.run_id)
     delta = (
         state.seen_delta
         if state.seen_delta is not None
@@ -599,7 +609,8 @@ def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) ->
     )
     lineage.write.mode("overwrite").parquet(os.path.join(rd, "lineage"))
     spark.createDataFrame(
-        [(state.round_no, state.next_seq)], "round_no int, next_seq long"
+        [(state.round_no, state.next_seq, run_id)],
+        "round_no int, next_seq long, run_id string",
     ).write.mode("overwrite").parquet(os.path.join(rd, "meta"))
     if metrics is not None:
         spark.createDataFrame(
@@ -613,25 +624,80 @@ def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) ->
     return load_checkpoint(spark, ckpt_dir, state.round_no)
 
 
+def _establish_run(ckpt_dir: str, run_id: str | None) -> str:
+    """Pin the ckpt_dir to one run via the _RUN pointer file.  A mismatch
+    means the dir holds a DIFFERENT run's rounds — refuse rather than let a
+    later resume silently union stale seen deltas."""
+    os.makedirs(ckpt_dir, exist_ok=True)
+    ptr = os.path.join(ckpt_dir, "_RUN")
+    existing = None
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            existing = f.read().strip() or None
+    if run_id is None:
+        run_id = existing
+    if run_id is None:
+        import uuid
+
+        run_id = uuid.uuid4().hex[:12]
+    if existing is not None and existing != run_id:
+        raise ValueError(
+            f"{ckpt_dir} belongs to run {existing!r}, not {run_id!r}: it holds "
+            "another run's checkpoints. Resume that run (resume=True) or use a "
+            "clean ckpt_dir."
+        )
+    if existing is None:
+        tmp = ptr + ".tmp"
+        with open(tmp, "w") as f:
+            f.write(run_id)
+        os.replace(tmp, ptr)
+    return run_id
+
+
+def _recover_compacting_delta(rd: str) -> None:
+    """Adopt a complete-but-unswapped compaction output: if a crash left no
+    live seen_delta but seen_delta__compacting finished (Spark's _SUCCESS
+    marker), finish the swap — the loader then sees a readable delta."""
+    live = os.path.join(rd, "seen_delta")
+    tmp = os.path.join(rd, "seen_delta__compacting")
+    if not os.path.isdir(live) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
+        os.rename(tmp, live)
+        # the adopted delta is the compacted full set — mark it so the
+        # loader ignores any older rounds the crash didn't get to delete
+        with open(os.path.join(rd, ".compacted"), "w") as f:
+            f.write("ok")
+
+
 def compact_checkpoints(spark: SparkSession, ckpt_dir: str) -> int:
     """Fold every completed round's seen_delta into the LATEST round's delta
     and drop the older round dirs — the LSM-style compaction that bounds the
     loader's file fan-in on long crawls (resume-to-latest stays exact; the
     retention trade is losing resume-to-earlier rounds, the standard
-    checkpoint-retention policy).  Returns the surviving round number."""
+    checkpoint-retention policy).  Returns the surviving round number.
+
+    Crash-safe at every step: the compacted delta is fully written (Spark
+    _SUCCESS) before the live dir moves; a crash in the swap window is
+    healed by _recover_compacting_delta; the ``.compacted`` marker lands
+    before older rounds are deleted, so a crash mid-deletion can never
+    double-union (the loader skips pre-marker rounds)."""
+    import shutil
+
     latest = latest_round(ckpt_dir)
     if latest is None:
         raise FileNotFoundError(f"no completed round under {ckpt_dir}")
-    state = load_checkpoint(spark, ckpt_dir, latest)  # union of all deltas
     rd = os.path.join(ckpt_dir, f"round_{latest:05d}")
-    tmp = os.path.join(rd, "seen_delta__compacting")
-    state.seen.write.mode("overwrite").parquet(tmp)
+    _recover_compacting_delta(rd)
+    state = load_checkpoint(spark, ckpt_dir, latest)  # union of all deltas
     live = os.path.join(rd, "seen_delta")
+    tmp = os.path.join(rd, "seen_delta__compacting")
+    shutil.rmtree(tmp, ignore_errors=True)  # stale partial from a past crash
+    state.seen.write.mode("overwrite").parquet(tmp)
     old = os.path.join(rd, "seen_delta__old")
+    shutil.rmtree(old, ignore_errors=True)
     os.rename(live, old)
-    os.rename(tmp, live)
-    import shutil
-
+    os.rename(tmp, live)  # crash between the renames → recovery adopts tmp
+    with open(os.path.join(rd, ".compacted"), "w") as f:
+        f.write("ok")
     shutil.rmtree(old, ignore_errors=True)
     for d in os.listdir(ckpt_dir):
         if d.startswith("round_") and int(d.split("_")[1]) < latest:
@@ -664,16 +730,60 @@ def load_checkpoint(
             raise FileNotFoundError(f"no completed round under {ckpt_dir}")
     rd = os.path.join(ckpt_dir, f"round_{round_no:05d}")
     meta = spark.read.parquet(os.path.join(rd, "meta")).collect()[0]
-    # the seen set = union of every completed round's delta up to round_no
-    # (one multi-path parquet scan — a flat file-source union, no plan growth)
-    delta_dirs = [
-        os.path.join(ckpt_dir, d, "seen_delta")
-        for d in sorted(os.listdir(ckpt_dir))
+    run_ptr = os.path.join(ckpt_dir, "_RUN")
+    if not os.path.isfile(run_ptr):
+        raise FileNotFoundError(
+            f"{ckpt_dir} has no _RUN pointer — pre-run-id checkpoint layout; "
+            "re-checkpoint with this version before resuming."
+        )
+    with open(run_ptr) as f:
+        run_id = f.read().strip()
+    # every contributing round must (a) be .done, (b) have a readable
+    # seen_delta (a missing one means a pre-delta-format dir or a torn
+    # compaction — RAISE, never silently resume with a wrong seen set), and
+    # (c) belong to THIS run (stale rounds from a prior run in a reused dir)
+    done_rounds = sorted(
+        int(d.split("_")[1])
+        for d in os.listdir(ckpt_dir)
         if d.startswith("round_")
         and int(d.split("_")[1]) <= round_no
         and os.path.exists(os.path.join(ckpt_dir, d, ".done"))
-        and os.path.isdir(os.path.join(ckpt_dir, d, "seen_delta"))
+    )
+    # heal torn compactions FIRST — adoption writes the `.compacted` marker,
+    # which must be visible before the union floor is computed below
+    for r in done_rounds:
+        _recover_compacting_delta(os.path.join(ckpt_dir, f"round_{r:05d}"))
+    # a `.compacted` round's delta already folds in everything before it;
+    # older rounds (normally deleted — a crash mid-delete can strand some)
+    # must NOT be unioned again
+    compacted = [
+        r
+        for r in done_rounds
+        if os.path.isfile(os.path.join(ckpt_dir, f"round_{r:05d}", ".compacted"))
     ]
+    floor_round = max(compacted) if compacted else -1
+    delta_dirs = []
+    for r in done_rounds:
+        if r < floor_round:
+            continue
+        rdir = os.path.join(ckpt_dir, f"round_{r:05d}")
+        delta = os.path.join(rdir, "seen_delta")
+        if not os.path.isdir(delta):
+            raise FileNotFoundError(
+                f"round {r} under {ckpt_dir} is .done but has no seen_delta "
+                "(pre-delta-format checkpoint or torn compaction) — resuming "
+                "would silently drop seen URLs."
+            )
+        delta_dirs.append(delta)
+    metas = spark.read.parquet(
+        *[os.path.join(ckpt_dir, f"round_{r:05d}", "meta") for r in done_rounds]
+    ).collect()
+    alien = sorted({m["round_no"] for m in metas if m["run_id"] != run_id})
+    if alien:
+        raise ValueError(
+            f"rounds {alien} under {ckpt_dir} belong to a different run than "
+            f"_RUN={run_id!r} (reused ckpt_dir) — refusing to union their deltas."
+        )
     if delta_dirs:
         seen = spark.read.schema(schema.SEEN).parquet(*delta_dirs)
     else:
@@ -684,6 +794,7 @@ def load_checkpoint(
         seen=seen,
         next_seq=meta["next_seq"],
         seen_delta=None,  # everything durable now; next delta starts empty
+        run_id=run_id,
     )
     if use_bloom:
         # the bloom is derived state — rebuild from the durable seen table

@@ -58,7 +58,7 @@ def run_oracle(oracle_world):
     return o
 
 
-def run_spark(spark, world_dfs, ckpt_dir=None, resume_at=None):
+def run_spark(spark, world_dfs, ckpt_dir=None, resume_at=None, compact_at=None):
     pages, robots, blacklist = world_dfs
     seeds = world.gen_seeds(spark, N_HOSTS)
     empty_sites = spark.createDataFrame([], schema.SEEN)
@@ -75,6 +75,9 @@ def run_spark(spark, world_dfs, ckpt_dir=None, resume_at=None):
         image_all.extend(r["url"] for r in images.select("url").collect())
         if ckpt_dir is not None:
             state = fr.checkpoint(state, ckpt_dir)
+        if compact_at is not None and state.round_no == compact_at:
+            fr.compact_checkpoints(spark, ckpt_dir)
+            state = fr.load_checkpoint(spark, ckpt_dir)
         if resume_at is not None and state.round_no == resume_at:
             # simulate a crash: reload purely from disk
             state = fr.load_checkpoint(spark, ckpt_dir)
@@ -133,6 +136,15 @@ def test_frontier_drained(spark_run):
     assert state.frontier.count() == 0
 
 
+def _flat_order(fs):
+    # seq values are run-specific (packed); the ORDER must be identical
+    return [
+        r["url"]
+        for rows in fs
+        for r in sorted(rows, key=lambda r: (-r["priority"], r["discovery_seq"]))
+    ]
+
+
 def test_checkpoint_resume_identical(spark, world_dfs, spark_run):
     ckpt = tempfile.mkdtemp(prefix="oddb_ckpt_")
     try:
@@ -143,13 +155,75 @@ def test_checkpoint_resume_identical(spark, world_dfs, spark_run):
         seen_r = {r["url"] for r in state_resumed.seen.collect()}
         seen_b = {r["url"] for r in state_base.seen.collect()}
         assert seen_r == seen_b
-        # seq values are run-specific (packed); the ORDER must be identical
-        flat = lambda fs: [
-            r["url"]
-            for rows in fs
-            for r in sorted(rows, key=lambda r: (-r["priority"], r["discovery_seq"]))
-        ]
-        assert flat(fetched_r) == flat(fetched_b)
+        assert _flat_order(fetched_r) == _flat_order(fetched_b)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_resume_across_compaction_boundary_identical(spark, world_dfs, spark_run):
+    """Compaction at round 1 then a crash-resume at round 2 must reproduce
+    the uncheckpointed crawl bit-for-bit (seen set + order)."""
+    ckpt = tempfile.mkdtemp(prefix="oddb_ckpt_cmp_")
+    try:
+        _, state_resumed, fetched_r, _ = run_spark(
+            spark, world_dfs, ckpt_dir=ckpt, resume_at=2, compact_at=1
+        )
+        _, state_base, fetched_b, _ = spark_run
+        seen_r = {r["url"] for r in state_resumed.seen.collect()}
+        seen_b = {r["url"] for r in state_base.seen.collect()}
+        assert seen_r == seen_b
+        assert _flat_order(fetched_r) == _flat_order(fetched_b)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_loader_raises_on_torn_or_alien_checkpoints(spark, world_dfs):
+    """The loader must never silently resume with a wrong seen set: a .done
+    round without a readable seen_delta raises, a ckpt_dir holding another
+    run's rounds raises, and a torn compaction swap self-heals."""
+    import os
+
+    pages, robots, blacklist = world_dfs
+    seeds = world.gen_seeds(spark, N_HOSTS)
+    empty = spark.createDataFrame([], schema.SEEN)
+    ckpt = tempfile.mkdtemp(prefix="oddb_ckpt_guard_")
+    try:
+        accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
+        state = fr.initial_state(accepted)
+        for _ in range(2):
+            state, _, _ = fr.expand_round(state, pages, robots)
+            state = fr.checkpoint(state, ckpt)
+        full_seen = state.seen.count()
+        rd1 = os.path.join(ckpt, "round_00001")
+
+        # torn compaction: complete __compacting output, live delta renamed
+        # away mid-swap — the loader adopts the compacted output and the
+        # seen set stays complete
+        rd2 = os.path.join(ckpt, "round_00002")
+        state.seen.write.parquet(os.path.join(rd2, "seen_delta__compacting"))
+        os.rename(
+            os.path.join(rd2, "seen_delta"), os.path.join(rd2, "seen_delta__old")
+        )
+        healed = fr.load_checkpoint(spark, ckpt)
+        assert healed.seen.count() == full_seen
+        assert os.path.isfile(os.path.join(rd2, ".compacted"))
+
+        # a .done round with NO delta (pre-delta layout / unrecoverable tear)
+        shutil.rmtree(os.path.join(rd1, "seen_delta"))
+        with pytest.raises(FileNotFoundError, match="seen_delta"):
+            fr.load_checkpoint(spark, ckpt, round_no=1)
+
+        # reused ckpt_dir: a FRESH run (new run_id) must refuse to checkpoint
+        # over another run's rounds...
+        state_b = fr.initial_state(accepted)
+        state_b, _, _ = fr.expand_round(state_b, pages, robots)
+        with pytest.raises(ValueError, match="another run"):
+            fr.checkpoint(state_b, ckpt)
+        # ...and a loader pointed at rounds from a different run refuses too
+        with open(os.path.join(ckpt, "_RUN"), "w") as f:
+            f.write("deadbeef0000")
+        with pytest.raises(ValueError, match="different run"):
+            fr.load_checkpoint(spark, ckpt)
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
