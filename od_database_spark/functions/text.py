@@ -9,18 +9,43 @@ from pyspark.sql import functions as F
 from .. import schema
 
 
+def _leading_dir_len(s: str) -> int | None:
+    """Length of the next collapsed chunk at the head of ``s`` — an exact
+    segment model of one non-overlapping match of the reference's lazy
+    ``/?.*?/`` pattern (od_util.py:20-27):
+
+    - head '/' with another '/' later: through that next '/' (so '//' at the
+      head is one two-char chunk with an EMPTY segment — not skipped);
+    - head '/' with no later '/': just the lone '/' (the '/?' backtracks);
+    - otherwise: through the first '/'; None when no '/' remains.
+    """
+    if not s:
+        return None
+    if s[0] == "/":
+        j = s.find("/", 1)
+        return j + 1 if j != -1 else 1
+    j = s.find("/")
+    return j + 1 if j != -1 else None
+
+
 def truncate_path(path: str, max_len: int) -> str:
-    """X3 semantics (od_util.py:20-27): collapse i leading directories into
-    '.../' each, for the smallest i whose result fits max_len; when nothing
-    fits, '.../'+basename; paths without '/' come back unchanged.  Quirks
-    preserved: an optional leading '/' folds into the first collapsed
-    segment, and each collapsed segment contributes its own '.../'.
-    (Re-expressed as a segment join; the reference iterates a regex sub.)"""
+    """X3 semantics (od_util.py:20-27): collapse the first i leading
+    directory chunks into '.../' each, for the smallest i whose result fits
+    max_len; when nothing fits, '.../'+basename; paths without '/' come back
+    unchanged.  Chunking follows the reference's regex exactly (see
+    _leading_dir_len) — empty segments from '//' runs collapse one chunk per
+    match, and a multi-leading-slash head folds into the FIRST chunk only."""
     if "/" not in path:
         return path
-    segs = path.lstrip("/").split("/")
     for i in range(1, path.count("/")):
-        candidate = ".../" * i + "/".join(segs[i:])
+        pos, collapsed = 0, 0
+        while collapsed < i:
+            step = _leading_dir_len(path[pos:])
+            if step is None:
+                break
+            pos += step
+            collapsed += 1
+        candidate = ".../" * collapsed + path[pos:]
         if len(candidate) < max_len:
             return candidate
     return ".../" + path.rsplit("/", maxsplit=1)[1]

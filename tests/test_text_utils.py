@@ -48,10 +48,26 @@ def test_truncate_path_matches_reference_regex_form():
         "a", "a/b", "a/b/c", "a/b/c/d/e/file.txt", "/abs/path/to/thing",
         "trailing/dir/", "dou//ble", "/x/", "just_a_file.bin",
         "media/pictures/2019/holiday/beach/IMG_1234.JPG",
+        # '//'-heavy forms with small max_len — the round-2 rewrite diverged
+        # exactly here (empty segments + multi-leading slashes)
+        "//a/b/c", "///x", "a//b//c", "//", "///", "a///b/c/d",
+        "/a//", "//a//b///c//", "x//", "//file",
     ]
     for p in paths:
-        for m in (1, 4, 8, 12, 20, 64):
+        for m in (1, 4, 5, 8, 12, 20, 64):
             assert truncate_path(p, m) == ref(p, m), (p, m)
+
+    # fuzz: random slash-dense paths across tight and loose budgets
+    import random
+
+    rng = random.Random(1234)
+    alphabet = ["a", "bb", "ccc", "", "d"]
+    for _ in range(3000):
+        p = "/".join(rng.choice(alphabet) for _ in range(rng.randint(0, 8)))
+        if rng.random() < 0.5:
+            p = "/" * rng.randint(1, 3) + p
+        m = rng.randint(1, 30)
+        assert truncate_path(p, m) == ref(p, m), (p, m)
 
 
 def test_fold_properties():
