@@ -44,9 +44,15 @@ def robots_rules_col(txt: Column) -> Column:
             .when(is_ua, F.lit(False))
             .otherwise(acc["active"])
         )
+        # only overwrite on a SUCCESSFUL parse: an unparseable value (e.g.
+        # 'Crawl-delay: 10s' after a valid 'Crawl-delay: 10') must not null
+        # out a captured delay — politeness_select would coalesce the null
+        # to the 1.0s default and crawl faster than the site asked.
+        # try_cast, not cast: under ANSI mode a malformed value in ONE
+        # robots.txt would otherwise fail the whole parse job
         delay = F.when(
             ~is_ua & (key == F.lit("crawl-delay")) & acc["active"],
-            val.cast("double"),
+            F.coalesce(val.try_cast("double"), acc["delay"]),
         ).otherwise(acc["delay"])
         prefixes = F.when(
             ~is_ua & (key == F.lit("disallow")) & acc["active"] & (val != ""),

@@ -179,6 +179,7 @@ def filter_unseen(
     candidates: DataFrame,
     seen: DataFrame,
     bloom: PartitionedBloom | None = None,
+    broadcast_limit: int = 2_000_000,
 ) -> DataFrame:
     """Rows of ``candidates`` whose canonical URL is NOT in ``seen`` —
     exact semantics of database.py:78-90, bloom-accelerated.
@@ -197,8 +198,21 @@ def filter_unseen(
     )
     definite_new = flagged.filter(~F.col("_maybe_seen")).drop("_maybe_seen")
     needs_check = flagged.filter(F.col("_maybe_seen")).drop("_maybe_seen")
-    # Exact re-check WITHOUT shuffling the seen table: the maybe-seen sliver
-    # is politeness-bounded and bloom-filtered (≈ true dups + 1% fpp), so it
+    # The maybe-seen sliver is usually ≈ true dups + 1% fpp of a politeness-
+    # bounded batch — but NOT bounded by construction (a resume with a cold
+    # bloom, dense cross-linking, or an adversarial site graph can flag most
+    # candidates).  F.broadcast bypasses autoBroadcastJoinThreshold, so GATE
+    # the zero-shuffle path on a hard row bound and fall back to the plain
+    # shuffled anti-join when the sliver is big — exact either way; the
+    # broadcast is an optimization, never the correctness.  The gate is
+    # two-tier so normal rounds pay nothing: the candidate batch size bounds
+    # the sliver from above (candidates are checkpointed on the crawl path,
+    # so that count is metadata-cheap); only an oversized batch pays one
+    # probe pass to count the true sliver.
+    if candidates.count() > broadcast_limit and needs_check.count() > broadcast_limit:
+        verified_new = needs_check.join(seen_keys, on=cond, how="left_anti")
+        return definite_new.unionByName(verified_new)
+    # Exact re-check WITHOUT shuffling the seen table: the sliver
     # broadcasts.  seen is then only SCANNED (broadcast semi-join streams
     # over it — columnar-pruned to two columns, zero exchange of its 10^10
     # rows), the tiny hit set broadcasts back, and the anti-join is map-side

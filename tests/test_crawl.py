@@ -249,6 +249,29 @@ def test_bloom_prefilter_exactness(spark):
     assert with_bloom == {world.root_url(i) for i in range(200, 350)}
 
 
+def test_filter_unseen_broadcast_gate_fallback_exact(spark):
+    """When the maybe-seen sliver exceeds the broadcast bound, filter_unseen
+    must fall back to the shuffled anti-join — same exact answer, and the
+    plan no longer force-broadcasts the (unbounded) sliver."""
+    from od_database_spark.plans import explain as PL
+
+    seen_urls = [(world.root_url(i),) for i in range(300)]
+    seen_df = with_canonical(spark.createDataFrame(seen_urls, "url string")).select(
+        F.col("canon_url").alias("url"), "url_hash"
+    ).localCheckpoint(eager=True)
+    cand = with_canonical(
+        spark.createDataFrame([(world.root_url(i),) for i in range(250, 400)], "url string")
+    ).localCheckpoint(eager=True)
+    bloom = seen_ops.PartitionedBloom.build(seen_df, n_parts=8)
+    expect = {world.root_url(i) for i in range(300, 400)}
+    fast = seen_ops.filter_unseen(cand, seen_df, bloom)
+    slow = seen_ops.filter_unseen(cand, seen_df, bloom, broadcast_limit=10)
+    assert {r["canon_url"] for r in fast.collect()} == expect
+    assert {r["canon_url"] for r in slow.collect()} == expect
+    assert PL.exchange_count(fast) == 0  # gated IN: still the zero-shuffle plan
+    assert PL.exchange_count(slow) > 0  # gated OUT: plain shuffled anti-join
+
+
 def test_bloom_no_false_negatives(spark):
     import numpy as np
 

@@ -126,3 +126,24 @@ def test_crawl_run_accepts_raw_robots_txt(spark):
     seen_p = {x["url"] for x in r_parsed.state.seen.collect()}
     seen_r = {x["url"] for x in r_raw.state.seen.collect()}
     assert seen_p == seen_r and seen_p
+
+
+def test_unparseable_crawl_delay_keeps_prior_value(spark):
+    """A malformed Crawl-delay in the active group must not null out a
+    previously captured delay (the null would coalesce to the 1.0s default
+    downstream and crawl FASTER than the site asked)."""
+    raw = spark.createDataFrame(
+        [
+            ("bad-after-good.example",
+             "User-agent: *\nCrawl-delay: 10\nCrawl-delay: 10s\nDisallow: /p/\n"),
+            ("only-bad.example",
+             "User-agent: *\nCrawl-delay: soon\nDisallow: /q/\n"),
+            ("good-after-bad.example",
+             "User-agent: *\nCrawl-delay: nope\nCrawl-delay: 4\n"),
+        ],
+        "host string, robots_txt string",
+    )
+    got = {r["host"]: r["crawl_delay"] for r in parse_robots(raw).collect()}
+    assert got["bad-after-good.example"] == 10.0
+    assert got["only-bad.example"] is None  # stays null -> downstream default
+    assert got["good-after-bad.example"] == 4.0
