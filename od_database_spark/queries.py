@@ -951,6 +951,76 @@ FROM documents GROUP BY lang ORDER BY lang
 """
 
 
+def q_dedup_components(spark, sf_dir):
+    """Connected-component dedup — the keep-min-per-COMPONENT policy (the
+    common web-corpus alternative to text_dedup_keep's greedy pair rule):
+    verified near-dup pairs (MinHash-LSH candidates → Jaccard ≥ 0.2) form an
+    undirected graph; iterative min-label propagation assigns every touched
+    doc its component's minimum doc_id.  Each step cuts lineage with an
+    eager localCheckpoint (the frontier.expand_round pattern — plan trees
+    explode by step 3 otherwise) and unpersists the dead generation.
+    Iterations ≤ graph diameter; each is one slim (doc_id, comp) shuffle.
+    Output: (doc_id, comp, comp_size), total-ordered by doc_id."""
+    verified = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
+    edges = verified.unionByName(
+        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint(eager=True)
+    labels = (
+        edges.select(F.col("doc_a").alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    while True:
+        incoming = edges.join(
+            labels.withColumnRenamed("doc_id", "doc_a"), on="doc_a"
+        ).select(F.col("doc_b").alias("doc_id"), "comp")
+        new_labels = (
+            labels.unionByName(incoming)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "_old"), on="doc_id")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
+    return labels.join(sizes, on="comp").select(
+        "doc_id", "comp", "comp_size"
+    ).orderBy("doc_id")
+
+
+def _sql_dedup_components() -> str:
+    # WITH RECURSIVE must head the statement; the shared minhash CTE chain
+    # stays untouched otherwise
+    head = _sql_minhash_cte().replace("WITH words", "WITH RECURSIVE words", 1)
+    return head + """,
+sd AS (SELECT doc_id, list_distinct(shingles) AS dsh FROM sh),
+j AS (
+  SELECT c.doc_a, c.doc_b
+  FROM cand c JOIN sd a ON a.doc_id = c.doc_a JOIN sd b ON b.doc_id = c.doc_b
+  WHERE ROUND(CAST(len(list_intersect(a.dsh, b.dsh)) AS DOUBLE)
+              / len(list_distinct(list_concat(a.dsh, b.dsh))), 4) >= 0.2),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM j
+          UNION SELECT doc_b, doc_a FROM j),
+nodes AS (SELECT DISTINCT a AS id FROM edges),
+reach(id, r) AS (
+  SELECT id, id FROM nodes
+  UNION
+  SELECT e.b, reach.r FROM reach JOIN edges e ON e.a = reach.id),
+comp AS (SELECT id AS doc_id, MIN(r) AS comp FROM reach GROUP BY id),
+sizes AS (SELECT comp, CAST(count(*) AS BIGINT) AS comp_size FROM comp GROUP BY comp)
+SELECT c.doc_id, c.comp, s.comp_size
+FROM comp c JOIN sizes s ON s.comp = c.comp ORDER BY c.doc_id
+"""
+
+
 def q_embedding_topk(spark, sf_dir):
     """Brute-force cosine top-k ANN baseline over the embeddings table (query
     = vec_id 0), double accumulation in array order on both engines."""
@@ -1508,6 +1578,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "minhash_lsh": (q_minhash_lsh, _sql_minhash_lsh()),
     "ngram_jaccard": (q_ngram_jaccard, _sql_ngram_jaccard()),
     "text_dedup_keep": (q_text_dedup_keep, _sql_text_dedup_keep()),
+    "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),

@@ -159,6 +159,39 @@ def test_ann_bucket_count_scales_with_params(spark):
     assert big >= 4 * 8
 
 
+def test_dedup_components_match_union_find(spark):
+    """Label propagation must compute exactly the connected components of the
+    verified-pair graph: same membership as a pure-Python union-find, with
+    each component labeled by its minimum doc_id."""
+    from od_database_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    pairs = [(r["doc_a"], r["doc_b"]) for r in Q.q_ngram_jaccard(spark, sf).collect()]
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    expect = {}
+    for node in parent:
+        root = find(node)
+        expect.setdefault(root, set()).add(node)
+    want = {n: min(members) for root, members in expect.items() for n in members}
+    got = {r["doc_id"]: (r["comp"], r["comp_size"])
+           for r in Q.q_dedup_components(spark, sf).collect()}
+    assert {k: v[0] for k, v in got.items()} == want
+    for doc_id, (comp, size) in got.items():
+        assert size == len(expect[comp])
+
+
 def test_ngram_jaccard_verifies_only_lsh_candidates(spark):
     """The verify stage must consume the LSH candidate feed — every verified
     pair is an LSH candidate pair (no all-pairs block join behind it)."""
