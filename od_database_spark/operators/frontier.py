@@ -324,9 +324,12 @@ def politeness_select(
     stage1 = (
         budgeted.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(skew_salt)))
         .withColumn("_r1", F.row_number().over(w1))
-        .filter(F.col("_r1") <= F.col("_budget"))  # pre-prune before materializing
-        .localCheckpoint(eager=True)
+        .filter(F.col("_r1") <= F.col("_budget"))  # pre-prune inside the plan
     )
+    # both ranking phases run in ONE job (two stacked window exchanges over
+    # slim keys); the only materialization of the whole selection is the
+    # tiny cutoff table below — one fewer job and one fewer block-store
+    # checkpoint per round than checkpointing the phase-1 survivors
     w2 = Window.partitionBy("host").orderBy(F.desc("priority"), F.asc("discovery_seq"))
     sel = stage1.withColumn("_rank", F.row_number().over(w2)).filter(
         F.col("_rank") <= F.col("_budget")
@@ -350,7 +353,6 @@ def politeness_select(
         )
         .localCheckpoint(eager=True)
     )
-    stage1.unpersist()  # cutoffs are materialized; the pre-rank is dead
     joined = frontier.join(F.broadcast(cutoffs), on="host", how="left")
     np_ = -F.col("priority")
     is_due = F.coalesce(
@@ -410,13 +412,17 @@ def expand_round(
     )
     fetchable = due.filter(~disallowed).drop("disallow_prefixes")
 
+    # materialize the fetch result ONCE, up front: three downstream outputs
+    # (next frontier, image urls, the fetched pages themselves) all branch
+    # from this join — checkpointing the branches individually re-ran the
+    # due→pages join up to 3x per round (measured in the round-3 job trim)
     fetched = fetchable.join(
         pages.select(
             F.col("url"), F.col("links"), F.col("redirects"),
         ),
         on="url",
         how="inner",  # missing page = dead URL, nothing to expand
-    ).filter(~F.col("redirects"))
+    ).filter(~F.col("redirects")).localCheckpoint(eager=True)
 
     kids = fetched.select(
         F.col("url").alias("parent"),
@@ -512,12 +518,13 @@ def expand_round(
         # would silently share pixels
         F.format_string("img_%016x", F.xxhash64("child_url")).alias("image_id"),
     )
-    # materialize the round's outputs, then free the cutoff checkpoint and
-    # the OLD frontier — their blocks are unrecoverable after unpersist, so
-    # nothing returned may still depend on them (next_frontier, fetched and
-    # image_urls are all checkpointed by here; without the frontier
-    # unpersist, every round's checkpoint piles up in the block store)
-    fetched = fetched.localCheckpoint(eager=True)
+    # materialize the round's remaining outputs, then free the cutoff
+    # checkpoint and the OLD frontier — their blocks are unrecoverable after
+    # unpersist, so nothing returned may still depend on them (next_frontier,
+    # fetched and image_urls are all checkpointed by here; without the
+    # frontier unpersist, every round's checkpoint piles up in the block
+    # store).  fetched was checkpointed up front; image_urls derives from it
+    # (cheap explode+filter job).
     image_urls = image_urls.localCheckpoint(eager=True)
     cutoffs.unpersist()
     try:
