@@ -59,6 +59,115 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
+# Corpus-proportional queries for the 10x anchor: every one scans the full
+# documents/embeddings tables (the bounded-id queries like simhash measure a
+# constant slice and are excluded on purpose)
+SF10X_QUERIES = [
+    "minhash_lsh", "ngram_jaccard", "text_dedup_keep", "dedup_components",
+    "lang_id", "token_count", "rolling_fingerprint",
+    "embedding_topk", "embedding_lsh_ann", "embedding_neardup",
+    "embedding_batch_ann", "embedding_dedup_keep",
+    "embedding_bucket_search", "embedding_ivf_search",
+]
+SF10X_REPLICAS = 10
+
+
+def ensure_sf10x(spark, src_dir: str) -> str:
+    """Deterministic 10x corpus derived from ``src_dir``: replica k shifts
+    ids and PERTURBS content (word suffix per replica; hash-derived noise on
+    embedding components) so replicas are not near-duplicates of each other
+    — naive row duplication would put every clone in the same LSH buckets
+    and blow candidate pairs up quadratically, which is not what 10x real
+    data costs.  Replica 0 is the original data.  Cached under /tmp."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    key = hashlib.md5(f"{src_dir}:{SF10X_REPLICAS}".encode()).hexdigest()[:10]
+    out = os.path.join("/tmp", f"oddb_bench_sf10x_{key}")
+    marker = os.path.join(out, "_BUILT")
+    if os.path.isfile(marker):
+        return out
+    t0 = time.time()
+    docs = spark.read.parquet(f"{src_dir}/documents.parquet")
+    embs = spark.read.parquet(f"{src_dir}/embeddings.parquet")
+    n_docs = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    n_vecs = embs.agg(F.max("vec_id")).collect()[0][0] + 1
+    doc_parts, emb_parts = [docs], [embs]
+    for k in range(1, SF10X_REPLICAS):
+        suffixed = F.array_join(
+            F.transform(F.split("text", " "), lambda w: F.concat(w, F.lit(f"~{k}"))),
+            " ",
+        )
+        doc_parts.append(
+            docs.select(
+                (F.col("doc_id") + k * n_docs).alias("doc_id"),
+                suffixed.alias("text"), "lang", "source", "n_chars",
+            )
+        )
+        vid = F.col("vec_id")
+        noise = lambda i: (
+            (F.pmod(vid * 2654435761 + i * 40503 + F.lit(k * 97), F.lit(2001)) - 1000)
+            / F.lit(3000.0)
+        ).cast("float")
+        emb_parts.append(
+            embs.select(
+                (vid + k * n_vecs).alias("vec_id"),
+                F.transform("embedding", lambda x, i: x + noise(i)).alias("embedding"),
+                "label",
+            )
+        )
+    d10 = doc_parts[0]
+    for p in doc_parts[1:]:
+        d10 = d10.unionByName(p)
+    e10 = emb_parts[0]
+    for p in emb_parts[1:]:
+        e10 = e10.unionByName(p)
+    d10.write.mode("overwrite").parquet(f"{out}/documents.parquet")
+    e10.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+    with open(marker, "w") as f:
+        f.write("ok")
+    log(f"sf10x corpus built in {time.time() - t0:.1f}s at {out}")
+    return out
+
+
+def run_sf10x(spark, src_dir: str) -> dict:
+    """The executor-work anchor: corpus-proportional queries at 10x rows,
+    where the similarity family's driver-side plan constants (1.5-3s of
+    literal-tree planning, measured r2) no longer dominate.  ANN index
+    builds run untimed first (build-once is the ingest contract)."""
+    from od_database_spark.operators import ann_store
+    from od_database_spark.queries import REGISTRY
+
+    sf10x_dir = ensure_sf10x(spark, src_dir)
+    t0 = time.time()
+    ann_store.ensure_lsh_index(spark, sf10x_dir)
+    ann_store.ensure_ivf_index(spark, sf10x_dir)
+    index_build_s = round(time.time() - t0, 2)
+    log(f"sf10x ann index build: {index_build_s}s")
+    times: dict[str, float] = {}
+    for name in SF10X_QUERIES:
+        fn, _sql = REGISTRY[name]
+        trials = []
+        for _ in range(2):  # best-of-2: CPU-steal noise vs bounded runtime
+            t1 = time.time()
+            # noop sink, not count(): count() lets Catalyst PRUNE unreferenced
+            # aggregates and eliminate distinct-key left joins, timing a
+            # fraction of the real query (text_dedup_keep's whole verify
+            # pipeline was optimized away under count() — measured)
+            fn(spark, sf10x_dir).write.mode("overwrite").format("noop").save()
+            trials.append(time.time() - t1)
+        times[name] = round(min(trials), 3)
+        log(f"sf10x {name}: {times[name]:.2f}s")
+    return {
+        "replicas": SF10X_REPLICAS,
+        "src": src_dir,
+        "index_build_sec": index_build_s,
+        "queries": times,
+        "total_sec": round(sum(times.values()), 2),
+    }
+
+
 def run_crawl(spark, n_hosts: int) -> dict:
     """Full pipeline: submit → BFS to exhaustion → image fetch/decode.
     World generation and caching are setup (untimed); the timed window is
@@ -267,6 +376,7 @@ def main() -> None:
     ap.add_argument("--crawl", action="store_true", help="crawl-only, one JSON line")
     ap.add_argument("--frontier", action="store_true", help="frontier-throughput only")
     ap.add_argument("--fetch", action="store_true", help="fetch/decode-throughput only")
+    ap.add_argument("--sf10x", action="store_true", help="10x-corpus query anchor only")
     ap.add_argument("--images", type=int, default=int(os.environ.get("ODDB_BENCH_IMAGES", "40000")))
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--hosts", type=int, default=BENCH_HOSTS)
@@ -276,7 +386,7 @@ def main() -> None:
 
     from od_database_spark.session import get_spark
 
-    if args.crawl or args.frontier or args.fetch:
+    if args.crawl or args.frontier or args.fetch or args.sf10x:
         spark = get_spark(
             app_name=f"oddb-bench-sub-{args.cpus}", cpus=args.cpus,
             extra_conf={"spark.ui.showConsoleProgress": "false"},
@@ -285,6 +395,8 @@ def main() -> None:
             print(json.dumps(run_crawl(spark, args.hosts)), flush=True)
         elif args.fetch:
             print(json.dumps(run_fetch_throughput(spark, args.images)), flush=True)
+        elif args.sf10x:
+            print(json.dumps(run_sf10x(spark, SF_DIR)), flush=True)
         else:
             print(json.dumps(run_frontier_throughput(spark, args.urls)), flush=True)
         return
@@ -305,6 +417,10 @@ def main() -> None:
         "queries": qtimes,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
+
+    if not args.no_scaling and os.environ.get("ODDB_BENCH_SF10X", "1") == "1":
+        log("--- sf10x query anchor ---")
+        result["sf10x"] = bench_subprocess("--sf10x", args.cpus, [])
 
     if not args.no_scaling:
         crawl, front = {}, {}
