@@ -225,6 +225,7 @@ def embedding_near_dup(
     id_col: str,
     threshold: float = 0.95,
     tables: list | None = None,
+    keyed: DataFrame | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs through banded LSH: candidate
     pairs only form inside a (band, bucket) cell (recall traded for the
@@ -233,11 +234,17 @@ def embedding_near_dup(
     Scale shape: the bucket self-join carries ONLY (id, bucket) — slim rows;
     distinct pairs are formed before the embeddings are joined back, so the
     arrays never ride the candidate-generation shuffle and each surviving
-    pair computes its cosine exactly once."""
-    keyed = df.select(
-        F.col(id_col),
-        F.explode(ann_band_buckets(F.col(emb_col), tables)).alias("bucket"),
-    )
+    pair computes its cosine exactly once.
+
+    ``keyed`` optionally supplies the (id, bucket) rows from a PERSISTED
+    index (operators/ann_store.py) — bit-identical to the inline compute,
+    and the self-join then reads the bucketed table co-located on both
+    sides instead of hashing every vector twice per invocation."""
+    if keyed is None:
+        keyed = df.select(
+            F.col(id_col),
+            F.explode(ann_band_buckets(F.col(emb_col), tables)).alias("bucket"),
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
         a.join(b, on="bucket")

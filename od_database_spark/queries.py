@@ -1313,12 +1313,15 @@ ORDER BY id_a, id_b LIMIT 200
 def q_embedding_neardup(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs through the LSH buckets — the
     dedup-pipeline form (operators/dedup.embedding_near_dup) as an
-    oracle-checked query."""
+    oracle-checked query.  Bucket keys come from the persisted index table
+    (ann_store) — the self-join reads it co-located on both sides."""
+    from .operators import ann_store
     from .operators.dedup import embedding_near_dup
 
     e = t(spark, sf_dir, "embeddings")
+    keyed = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
     return (
-        embedding_near_dup(e, "embedding", "vec_id", threshold=0.25)
+        embedding_near_dup(e, "embedding", "vec_id", threshold=0.25, keyed=keyed)
         .orderBy("id_a", "id_b")
         .limit(200)
     )
@@ -1419,11 +1422,14 @@ def q_embedding_dedup_keep(spark, sf_dir):
     """Dedup KEEP-LIST: the pipeline step after near-dup pair generation —
     greedy-by-id policy (drop any vector that near-duplicates a smaller id;
     deterministic, single pass, the standard web-corpus keeper rule).
-    Output: kept-count and dropped-count per label."""
+    Output: kept-count and dropped-count per label.  Bucket keys come from
+    the persisted index table (ann_store)."""
+    from .operators import ann_store
     from .operators.dedup import embedding_near_dup
 
     e = t(spark, sf_dir, "embeddings")
-    pairs = embedding_near_dup(e, "embedding", "vec_id", threshold=0.25)
+    keyed = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
+    pairs = embedding_near_dup(e, "embedding", "vec_id", threshold=0.25, keyed=keyed)
     drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     flagged = e.join(drops.withColumn("_drop", F.lit(True)), on="vec_id", how="left")
     return (
