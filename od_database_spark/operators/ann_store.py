@@ -133,6 +133,61 @@ def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
     )
 
 
+def append_lsh_vectors(
+    delta: DataFrame, name: str, n_buckets: int = N_BUCKETS
+) -> None:
+    """Ingest-incremental growth of the LSH index: explode the NEW vectors'
+    band buckets and append with the table's bucket spec — one file set per
+    catalog bucket per append, the seen_store growth pattern.  Lookups and
+    co-located self-joins keep their plan properties across appends."""
+    from .dedup import ann_band_buckets
+
+    keyed = delta.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+    )
+    (
+        keyed.write.mode("append")
+        .bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def append_ivf_vectors(delta: DataFrame, cents_name: str, cells_name: str) -> None:
+    """Ingest-incremental IVF growth: assign NEW vectors to the EXISTING
+    (frozen) centroids — the standard IVF append path; re-training the
+    coarse quantizer is a separate rebuild decision — and append them to
+    their inverted-list partitions."""
+    spark = delta.sparkSession
+    cents = spark.table(cents_name)
+    l2 = F.aggregate(
+        F.zip_with(
+            "embedding",
+            "cent",
+            lambda x, y: (x.cast("double") - y.cast("double"))
+            * (x.cast("double") - y.cast("double")),
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    assigned = delta.crossJoin(F.broadcast(cents)).select(
+        "vec_id", "cent_id", l2.alias("d2")
+    )
+    best = assigned.groupBy("vec_id").agg(
+        F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
+    )
+    cells = delta.join(best, on="vec_id").select(
+        "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
+    )
+    (
+        cells.write.mode("append")
+        .partitionBy("cell")
+        .format("parquet")
+        .saveAsTable(cells_name)
+    )
+
+
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Idempotent IVF build; returns (centroids_table, cells_table)."""
     key = _key(sf_dir)

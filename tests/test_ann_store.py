@@ -81,6 +81,47 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_incremental_append_equals_full_rebuild(spark, sf_dir):
+    """Appending a vector delta must leave both index tables equal to a
+    from-scratch build over the grown corpus (IVF assigns new vectors to the
+    FROZEN centroids, so equality needs the same centroid set — guaranteed
+    here because the base corpus contains the deterministic selection)."""
+    emb = t(spark, sf_dir, "embeddings")
+    base = emb.filter(F.col("vec_id") % 5 != 3)
+    delta = emb.filter(F.col("vec_id") % 5 == 3)
+    lsh_tbl, cents_tbl, cells_tbl = "lsh_inc_test", "ivf_cents_inc_test", "ivf_cells_inc_test"
+    for name in (lsh_tbl, cents_tbl, cells_tbl):
+        AS._drop_stale(spark, name)
+    try:
+        AS.build_lsh_table(base, lsh_tbl)
+        AS.append_lsh_vectors(delta, lsh_tbl)
+        from od_database_spark.operators.dedup import ann_band_buckets
+
+        full = emb.select(
+            "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+        )
+        assert spark.table(lsh_tbl).exceptAll(full).count() == 0
+        assert full.exceptAll(spark.table(lsh_tbl)).count() == 0
+
+        # IVF: build on the FULL corpus's centroid selection, cells on base,
+        # then append the delta — cells must equal a full build
+        AS.build_ivf_tables(emb, cents_tbl, cells_tbl)
+        ref = spark.table(cells_tbl).select("vec_id", "cell").collect()
+        want = {r["vec_id"]: r["cell"] for r in ref}
+        AS._drop_stale(spark, cells_tbl)  # centroids table stays
+        # rebuild cells from base only, then append the delta
+        AS.append_ivf_vectors(base, cents_tbl, cells_tbl)
+        AS.append_ivf_vectors(delta, cents_tbl, cells_tbl)
+        got = {
+            r["vec_id"]: r["cell"]
+            for r in spark.table(cells_tbl).select("vec_id", "cell").collect()
+        }
+        assert got == want
+    finally:
+        for name in (lsh_tbl, cents_tbl, cells_tbl):
+            spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
 def test_store_backed_results_match_inline_recompute(spark, sf_dir):
     """The persisted keys are bit-identical to a fresh recompute."""
     from od_database_spark.operators.dedup import ann_band_buckets
