@@ -207,6 +207,36 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return cents_name, cells_name
 
 
+def build_simhash_table(docs: DataFrame, name: str) -> None:
+    """Persist 60-bit SimHash fingerprints (16 B/doc): the text-hashing pass
+    runs once at ingest; near-dup queries then read fingerprints instead of
+    re-hashing every document per invocation.  Sorted by doc_id so id-range
+    query filters prune row groups."""
+    from .dedup import simhash
+
+    (
+        simhash(docs, "text", "doc_id")
+        .sortWithinPartitions("doc_id")
+        .write.mode("overwrite")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def ensure_simhash_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the fingerprint table for ``sf_dir``'s documents;
+    returns the catalog table name."""
+    name = f"simhash_fps_{_key(sf_dir)}"
+    if name in _VALIDATED:
+        return name
+    docs = t(spark, sf_dir, "documents")
+    if not _table_ok(spark, name, docs.count()):
+        _drop_stale(spark, name)
+        build_simhash_table(docs, name)
+    _VALIDATED.add(name)
+    return name
+
+
 def query_cells(qv: DataFrame, cents: DataFrame, nprobe: int) -> DataFrame:
     """The query vector's ``nprobe`` nearest coarse cells (L2 to the K
     centroids — a K-row ranking, broadcast everywhere it's used)."""

