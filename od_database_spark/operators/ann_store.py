@@ -207,6 +207,43 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     return cents_name, cells_name
 
 
+def build_text_lsh_table(docs: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> None:
+    """Persist the text-side MinHash LSH bands (doc_id, bucket) — the
+    shingle→minhash→band pipeline runs once at ingest; the candidate
+    self-join then reads the table bucketed+sorted by bucket, co-located on
+    both sides."""
+    from ..queries import _minhash_bands
+
+    (
+        _minhash_bands(docs)
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the text band table for ``sf_dir``'s documents.
+    Validation: docs with ≥1 shingle (≥3 words) each contribute exactly
+    MH_N/2 band rows — a cheap native scan, no re-hashing."""
+    from ..queries import MH_N
+
+    name = f"text_lsh_{_key(sf_dir)}"
+    if name in _VALIDATED:
+        return name
+    docs = t(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")) >= 3
+    ).count()
+    if not _table_ok(spark, name, eligible * (MH_N // 2)):
+        _drop_stale(spark, name)
+        build_text_lsh_table(docs, name)
+    _VALIDATED.add(name)
+    return name
+
+
 def build_simhash_table(docs: DataFrame, name: str) -> None:
     """Persist 60-bit SimHash fingerprints (16 B/doc): the text-hashing pass
     runs once at ingest; near-dup queries then read fingerprints instead of

@@ -762,11 +762,10 @@ FROM s GROUP BY lang, pred ORDER BY lang, pred
 SQL_LANG_ID = _sql_lang_id()
 
 
-def _minhash_candidates(d: DataFrame) -> DataFrame:
-    """Shared candidate generator: word-3-gram shingles → MH_N minhashes
-    (md5-derived, engine-portable) → MH_N/2 bands of 2 → distinct pairs
-    sharing any band bucket.  Used by q_minhash_lsh (as the output) and by
-    q_ngram_jaccard (as the candidate feed)."""
+def _minhash_bands(d: DataFrame) -> DataFrame:
+    """MinHash band-bucket rows (doc_id, bucket): word-3-gram shingles →
+    MH_N minhashes (md5-derived, engine-portable) → MH_N/2 bands of 2.
+    This is the text-side LSH index build — ann_store persists it."""
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     shingles = F.transform(
         F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
@@ -788,7 +787,7 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
             for j, (a, b) in enumerate(zip(MH_A, MH_B))
         ]
     )
-    bands = sigs.select(
+    return sigs.select(
         "doc_id",
         F.explode(
             F.array(
@@ -801,6 +800,12 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
             )
         ).alias("bucket"),
     )
+
+
+def _candidates_from_bands(bands: DataFrame) -> DataFrame:
+    """Distinct candidate pairs sharing any band bucket.  When ``bands``
+    reads ann_store's persisted text LSH table (bucketed by bucket), the
+    self-join is co-located on both sides."""
     a = bands.alias("a")
     b = bands.alias("b")
     return (
@@ -811,11 +816,26 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
     )
 
 
+def _minhash_candidates(d: DataFrame) -> DataFrame:
+    """Inline candidate generator over an arbitrary documents DataFrame
+    (library form; the registry queries read the persisted band table)."""
+    return _candidates_from_bands(_minhash_bands(d))
+
+
+def _store_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs fed from the PERSISTED text LSH band table."""
+    from .operators import ann_store
+
+    return _candidates_from_bands(
+        spark.table(ann_store.ensure_text_lsh_index(spark, sf_dir))
+    )
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash + LSH banding near-dup candidates — the standard
-    shingle→minhash→band→bucket-join pipeline."""
-    d = t(spark, sf_dir, "documents")
-    return _minhash_candidates(d).orderBy("doc_a", "doc_b")
+    shingle→minhash→band→bucket-join pipeline, candidate join reading the
+    persisted band table (ann_store) co-located on both sides."""
+    return _store_candidates(spark, sf_dir).orderBy("doc_a", "doc_b")
 
 
 def _sql_minhash_cte() -> str:
@@ -864,9 +884,10 @@ def q_ngram_jaccard(spark, sf_dir):
     pairs the banded LSH surfaced.  Feeding candidates in (instead of
     all-pairs within coarse blocks) is what bounds the work: a hot shingle
     can no longer make one block quadratic, and total verify cost is
-    O(|candidates| × shingles-per-doc)."""
+    O(|candidates| × shingles-per-doc).  Candidates read the persisted band
+    table (ann_store) — signatures are never recomputed at query time."""
     d = t(spark, sf_dir, "documents")
-    cand = _minhash_candidates(d)
+    cand = _store_candidates(spark, sf_dir)
     words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
     shingles = F.array_distinct(
         F.transform(

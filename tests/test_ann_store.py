@@ -19,7 +19,7 @@ def _clean_tables(spark, sf_dir):
     key = AS._key(sf_dir)
     for name in (
         f"ann_buckets_{key}", f"ivf_cents_{key}", f"ivf_cells_{key}",
-        f"simhash_fps_{key}",
+        f"simhash_fps_{key}", f"text_lsh_{key}",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         AS._VALIDATED.discard(name)
@@ -82,6 +82,28 @@ def test_ivf_probe_prunes_cells(spark, sf_dir):
     assert "ivf_cells_" in plan
     assert "dynamicpruning" in plan, plan
     assert "SortMergeJoin" not in plan
+
+
+def test_text_lsh_store_matches_inline_and_join_colocated(spark, sf_dir):
+    """The persisted band table equals an inline signature pass, the
+    minhash_lsh candidate self-join reads it on both sides, and with
+    broadcast disabled the join is exchange-free (bucketed both sides)."""
+    from od_database_spark.queries import _minhash_bands, t as load
+
+    name = AS.ensure_text_lsh_index(spark, sf_dir)
+    inline = _minhash_bands(load(spark, sf_dir, "documents"))
+    assert spark.table(name).exceptAll(inline).count() == 0
+    assert inline.exceptAll(spark.table(name)).count() == 0
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fn, _ = REGISTRY["minhash_lsh"]
+        plan = PL.plan_string(fn(spark, sf_dir), "simple")
+        assert plan.count("Bucketed: true") >= 2, plan
+        ex = re.findall(r"Exchange (?:hash|range)partitioning\([^\n]*", plan)
+        assert all("bucket" not in line for line in ex), ex
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
 
 
 def test_simhash_store_matches_inline_and_prunes(spark, sf_dir):
