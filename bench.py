@@ -57,6 +57,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ann_store.ensure_lsh_index(spark, sf_dir)
     ann_store.ensure_ivf_index(spark, sf_dir)
     ann_store.ensure_text_lsh_index(spark, sf_dir)
+    ann_store.ensure_shingle_index(spark, sf_dir)
     ann_store.ensure_simhash_index(spark, sf_dir)
     log(f"ann index builds (untimed ingest): {time.time() - t0:.2f}s")
 
@@ -154,6 +155,7 @@ def run_sf10x(spark, src_dir: str) -> dict:
     ann_store.ensure_lsh_index(spark, sf10x_dir)
     ann_store.ensure_ivf_index(spark, sf10x_dir)
     ann_store.ensure_text_lsh_index(spark, sf10x_dir)
+    ann_store.ensure_shingle_index(spark, sf10x_dir)
     index_build_s = round(time.time() - t0, 2)
     log(f"sf10x ann index build: {index_build_s}s")
     times: dict[str, float] = {}

@@ -244,6 +244,50 @@ def ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
+def build_shingle_table(docs: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> None:
+    """Persist the DISTINCT word-3-gram shingle rows (doc_id, shingle) — the
+    text engine's inverted-index analog (the reference's ES index stores
+    exactly this per-document term material; search/search.py:59-87).  The
+    Jaccard verify stage then joins candidate pairs against these slim rows
+    instead of re-splitting and re-exploding every document per query."""
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    shingles = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        )
+    )
+    (
+        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        .write.mode("overwrite")
+        .bucketBy(n_buckets, "doc_id")
+        .sortBy("doc_id")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+
+
+def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
+    """Idempotent build of the shingle inverted index.  Validation compares
+    the stored distinct-doc count against the eligible-docs count (≥3
+    words) — cheap native scan, no re-shingling."""
+    name = f"text_shingles_{_key(sf_dir)}"
+    if name in _VALIDATED:
+        return name
+    docs = t(spark, sf_dir, "documents")
+    eligible = docs.filter(
+        F.size(F.filter(F.split("text", " "), lambda w: w != "")) >= 3
+    ).count()
+    if (
+        not spark.catalog.tableExists(name)
+        or spark.table(name).select("doc_id").distinct().count() != eligible
+    ):
+        _drop_stale(spark, name)
+        build_shingle_table(docs, name)
+    _VALIDATED.add(name)
+    return name
+
+
 def build_simhash_table(docs: DataFrame, name: str) -> None:
     """Persist 60-bit SimHash fingerprints (16 B/doc): the text-hashing pass
     runs once at ingest; near-dup queries then read fingerprints instead of

@@ -885,22 +885,17 @@ def q_ngram_jaccard(spark, sf_dir):
     all-pairs within coarse blocks) is what bounds the work: a hot shingle
     can no longer make one block quadratic, and total verify cost is
     O(|candidates| × shingles-per-doc).  Candidates read the persisted band
-    table (ann_store) — signatures are never recomputed at query time."""
-    d = t(spark, sf_dir, "documents")
+    table and the shingle material reads the persisted inverted index
+    (ann_store) — NOTHING re-splits document text at query time."""
+    from .operators import ann_store
+
     cand = _store_candidates(spark, sf_dir)
-    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
-    )
-    s = d.select("doc_id", shingles.alias("sh"))
-    sizes = s.select("doc_id", F.size("sh").alias("n_sh"))
-    # |A∩B| per candidate pair via exploded-shingle joins: the joins carry
-    # only (doc_id, shingle) rows — the arrays never ride a shuffle — and the
-    # fan-out is bounded by |candidates| × shingles-per-doc
-    ex = s.select("doc_id", F.explode("sh").alias("shingle"))
+    # |A∩B| per candidate pair via exploded-shingle joins over the stored
+    # inverted index: the joins carry only slim (doc_id, shingle) rows — the
+    # arrays never ride a shuffle — and the fan-out is bounded by
+    # |candidates| × shingles-per-doc
+    ex = spark.table(ann_store.ensure_shingle_index(spark, sf_dir))
+    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
     inter = (

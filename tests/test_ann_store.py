@@ -19,7 +19,7 @@ def _clean_tables(spark, sf_dir):
     key = AS._key(sf_dir)
     for name in (
         f"ann_buckets_{key}", f"ivf_cents_{key}", f"ivf_cells_{key}",
-        f"simhash_fps_{key}", f"text_lsh_{key}",
+        f"simhash_fps_{key}", f"text_lsh_{key}", f"text_shingles_{key}",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         AS._VALIDATED.discard(name)
@@ -104,6 +104,35 @@ def test_text_lsh_store_matches_inline_and_join_colocated(spark, sf_dir):
         assert all("bucket" not in line for line in ex), ex
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_shingle_store_matches_inline(spark, sf_dir):
+    """The persisted inverted index holds exactly the distinct word-3-gram
+    shingles per document, and the Jaccard verify reads it (no text split
+    in the query plan)."""
+    from pyspark.sql import functions as F2
+    from od_database_spark.queries import t as load
+
+    name = AS.ensure_shingle_index(spark, sf_dir)
+    docs = load(spark, sf_dir, "documents")
+    words = F2.filter(F2.split("text", " "), lambda w: w != "")
+    inline = docs.select(
+        "doc_id",
+        F2.explode(
+            F2.array_distinct(
+                F2.transform(
+                    F2.sequence(F2.lit(1), F2.greatest(F2.size(words) - 2, F2.lit(0))),
+                    lambda i: F2.concat_ws(" ", F2.slice(words, i, 3)),
+                )
+            )
+        ).alias("shingle"),
+    )
+    assert spark.table(name).exceptAll(inline).count() == 0
+    assert inline.exceptAll(spark.table(name)).count() == 0
+    fn, _ = REGISTRY["ngram_jaccard"]
+    plan = PL.plan_string(fn(spark, sf_dir))
+    assert "text_shingles_" in plan
+    assert "documents.parquet" not in plan  # nothing re-splits text
 
 
 def test_simhash_store_matches_inline_and_prunes(spark, sf_dir):
