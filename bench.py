@@ -64,9 +64,14 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     times: dict[str, float] = {}
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         t0 = time.time()
-        n = fn(spark, sf_dir).count()
+        # noop sink, not count(): count() lets Catalyst prune unreferenced
+        # aggregate expressions and eliminate distinct-key left joins, so it
+        # times a fraction of the real plan for some queries.  NOTE: this
+        # makes r3+ per-query numbers incomparable to r1/r2 for the queries
+        # count() used to prune (they get honestly SLOWER in the report).
+        fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
-        log(f"query {name}: {times[name]:.2f}s rows={n}")
+        log(f"query {name}: {times[name]:.2f}s")
     return times
 
 

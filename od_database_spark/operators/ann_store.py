@@ -17,8 +17,10 @@ READ per query.  This module is that ingest step for the vector side:
 
 Build cost is one pass over the corpus per index (the same expressions the
 inline queries used — results are bit-identical); the tables live in the
-session catalog keyed by the source path, and rebuild only when the source
-row count changes.  At 10^10 vectors the build is the ingest job and the
+session catalog keyed by the source path, and rebuild whenever the source
+CONTENT signature (file names/sizes/mtimes + index params) or row count
+changes — a count-only check would silently serve a stale index after an
+in-place source regeneration.  At 10^10 vectors the build is the ingest job and the
 queries here are the steady-state path.
 """
 
@@ -33,16 +35,66 @@ from ..queries import ANN_BANDS, IVF_K, t
 
 N_BUCKETS = 16  # catalog bucket count for the LSH table (files per append)
 
-# per-session memo: table name -> validated against the current source
-_VALIDATED: set[str] = set()
+# per-session memo: table name -> source signature it was validated against
+# (the signature is a filesystem stat pass — cheap enough to recompute per
+# ensure_* call, so even IN-SESSION source regeneration triggers a rebuild)
+_VALIDATED: dict[str, str] = {}
 
 
 def _key(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
 
 
-def _table_ok(spark: SparkSession, name: str, expected_rows: int) -> bool:
+def _source_sig(sf_dir: str, table: str) -> str:
+    """Content signature of a source parquet path: file names + sizes +
+    mtimes (a filesystem stat pass, no data read) plus the index params.
+    Catches in-place source regeneration with UNCHANGED row counts — a
+    count-only check would silently serve a stale index for new data —
+    and any banding/quantizer param change."""
+    import os
+
+    from ..queries import ANN_BANDS, ANN_ROWS, IVF_K, MH_A, MH_B
+
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    parts = []
+    if os.path.isdir(path):
+        for f in sorted(os.listdir(path)):
+            st = os.stat(os.path.join(path, f))
+            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
+    elif os.path.isfile(path):
+        st = os.stat(path)
+        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
+    params = f"{ANN_BANDS}:{ANN_ROWS}:{IVF_K}:{MH_A}:{MH_B}"
+    return hashlib.md5(("|".join(parts) + "#" + params).encode()).hexdigest()
+
+
+def _sig_path(spark: SparkSession, name: str) -> str:
+    import os
+    from urllib.parse import urlparse
+
+    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
+    return os.path.join(wh, name, "_SRC_SIG")
+
+
+def _read_sig(spark: SparkSession, name: str) -> str | None:
+    import os
+
+    p = _sig_path(spark, name)
+    if not os.path.isfile(p):
+        return None
+    with open(p) as f:
+        return f.read().strip()
+
+
+def _write_sig(spark: SparkSession, name: str, sig: str) -> None:
+    with open(_sig_path(spark, name), "w") as f:
+        f.write(sig)
+
+
+def _table_ok(spark: SparkSession, name: str, expected_rows: int, sig: str) -> bool:
     if not spark.catalog.tableExists(name):
+        return False
+    if _read_sig(spark, name) != sig:
         return False
     return spark.table(name).count() == expected_rows
 
@@ -79,17 +131,19 @@ def build_lsh_table(emb: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> No
 
 def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent build of the LSH bucket table for ``sf_dir``'s embeddings;
-    returns the catalog table name.  Rebuilds when the stored row count
-    doesn't match the source (source regenerated / params changed)."""
+    returns the catalog table name.  Rebuilds when the source content
+    signature, the index params, or the stored row count changes."""
     name = f"ann_buckets_{_key(sf_dir)}"
-    if name in _VALIDATED:
+    sig = _source_sig(sf_dir, "embeddings")
+    if _VALIDATED.get(name) == sig:
         return name
     emb = t(spark, sf_dir, "embeddings")
     expected = emb.count() * ANN_BANDS
-    if not _table_ok(spark, name, expected):
+    if not _table_ok(spark, name, expected, sig):
         _drop_stale(spark, name)
         build_lsh_table(emb, name)
-    _VALIDATED.add(name)
+        _write_sig(spark, name, sig)
+    _VALIDATED[name] = sig
     return name
 
 
@@ -192,18 +246,21 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Idempotent IVF build; returns (centroids_table, cells_table)."""
     key = _key(sf_dir)
     cents_name, cells_name = f"ivf_cents_{key}", f"ivf_cells_{key}"
-    if cells_name in _VALIDATED:
+    sig = _source_sig(sf_dir, "embeddings")
+    if _VALIDATED.get(cells_name) == sig:
         return cents_name, cells_name
     emb = t(spark, sf_dir, "embeddings")
     n = emb.count()
     if not (
-        _table_ok(spark, cents_name, min(IVF_K, n))
-        and _table_ok(spark, cells_name, n)
+        _table_ok(spark, cents_name, min(IVF_K, n), sig)
+        and _table_ok(spark, cells_name, n, sig)
     ):
         _drop_stale(spark, cents_name)
         _drop_stale(spark, cells_name)
         build_ivf_tables(emb, cents_name, cells_name)
-    _VALIDATED.add(cells_name)
+        _write_sig(spark, cents_name, sig)
+        _write_sig(spark, cells_name, sig)
+    _VALIDATED[cells_name] = sig
     return cents_name, cells_name
 
 
@@ -231,16 +288,18 @@ def ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     from ..queries import MH_N
 
     name = f"text_lsh_{_key(sf_dir)}"
-    if name in _VALIDATED:
+    sig = _source_sig(sf_dir, "documents")
+    if _VALIDATED.get(name) == sig:
         return name
     docs = t(spark, sf_dir, "documents")
     eligible = docs.filter(
         F.size(F.filter(F.split("text", " "), lambda w: w != "")) >= 3
     ).count()
-    if not _table_ok(spark, name, eligible * (MH_N // 2)):
+    if not _table_ok(spark, name, eligible * (MH_N // 2), sig):
         _drop_stale(spark, name)
         build_text_lsh_table(docs, name)
-    _VALIDATED.add(name)
+        _write_sig(spark, name, sig)
+    _VALIDATED[name] = sig
     return name
 
 
@@ -272,7 +331,8 @@ def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
     the stored distinct-doc count against the eligible-docs count (≥3
     words) — cheap native scan, no re-shingling."""
     name = f"text_shingles_{_key(sf_dir)}"
-    if name in _VALIDATED:
+    sig = _source_sig(sf_dir, "documents")
+    if _VALIDATED.get(name) == sig:
         return name
     docs = t(spark, sf_dir, "documents")
     eligible = docs.filter(
@@ -280,11 +340,13 @@ def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
     ).count()
     if (
         not spark.catalog.tableExists(name)
+        or _read_sig(spark, name) != sig
         or spark.table(name).select("doc_id").distinct().count() != eligible
     ):
         _drop_stale(spark, name)
         build_shingle_table(docs, name)
-    _VALIDATED.add(name)
+        _write_sig(spark, name, sig)
+    _VALIDATED[name] = sig
     return name
 
 
@@ -308,13 +370,15 @@ def ensure_simhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent build of the fingerprint table for ``sf_dir``'s documents;
     returns the catalog table name."""
     name = f"simhash_fps_{_key(sf_dir)}"
-    if name in _VALIDATED:
+    sig = _source_sig(sf_dir, "documents")
+    if _VALIDATED.get(name) == sig:
         return name
     docs = t(spark, sf_dir, "documents")
-    if not _table_ok(spark, name, docs.count()):
+    if not _table_ok(spark, name, docs.count(), sig):
         _drop_stale(spark, name)
         build_simhash_table(docs, name)
-    _VALIDATED.add(name)
+        _write_sig(spark, name, sig)
+    _VALIDATED[name] = sig
     return name
 
 

@@ -487,7 +487,14 @@ def expand_round(
         )
     )
 
-    new_urls = new_urls.withColumnRenamed("url", "canon_url")
+    # materialize the round's candidate set ONCE: filter_unseen consumes it
+    # three ways with the bloom on (definite-new branch, maybe-seen branch,
+    # and the broadcast-gate count) — without the checkpoint each re-runs
+    # the explode+arg-min chain above, and the gate count would be a full
+    # recompute instead of a metadata read
+    new_urls = new_urls.withColumnRenamed("url", "canon_url").localCheckpoint(
+        eager=True
+    )
     unseen = seen_ops.filter_unseen(new_urls, state.seen, state.bloom).withColumnRenamed(
         "canon_url", "url"
     )
@@ -527,6 +534,7 @@ def expand_round(
     # (cheap explode+filter job).
     image_urls = image_urls.localCheckpoint(eager=True)
     cutoffs.unpersist()
+    new_urls.unpersist()  # numbered (the only dependent) is checkpointed
     try:
         state.frontier.unpersist()
     except Exception:
@@ -662,17 +670,33 @@ def _establish_run(ckpt_dir: str, run_id: str | None) -> str:
 
 
 def _recover_compacting_delta(rd: str) -> None:
-    """Adopt a complete-but-unswapped compaction output: if a crash left no
-    live seen_delta but seen_delta__compacting finished (Spark's _SUCCESS
-    marker), finish the swap — the loader then sees a readable delta."""
+    """Heal a compaction interrupted anywhere inside its swap window:
+
+    - no live seen_delta but seen_delta__compacting finished (_SUCCESS):
+      crash between the two renames — adopt the complete output;
+    - live seen_delta AND seen_delta__old both present: crash after the
+      second rename but before the ``.compacted`` marker (or before the old
+      dir's deletion) — live already IS the compacted set, so finish by
+      writing the marker and dropping the old dir.  Without this, a crash
+      in that window left older rounds unfloored and the loader would union
+      the full compacted set PLUS every older delta (duplicated seen rows).
+    """
+    import shutil
+
     live = os.path.join(rd, "seen_delta")
     tmp = os.path.join(rd, "seen_delta__compacting")
+    old = os.path.join(rd, "seen_delta__old")
+    marker = os.path.join(rd, ".compacted")
     if not os.path.isdir(live) and os.path.isfile(os.path.join(tmp, "_SUCCESS")):
         os.rename(tmp, live)
-        # the adopted delta is the compacted full set — mark it so the
-        # loader ignores any older rounds the crash didn't get to delete
-        with open(os.path.join(rd, ".compacted"), "w") as f:
+        with open(marker, "w") as f:
             f.write("ok")
+        shutil.rmtree(old, ignore_errors=True)  # dead pre-swap data
+    elif os.path.isdir(live) and os.path.isdir(old):
+        if not os.path.isfile(marker):
+            with open(marker, "w") as f:
+                f.write("ok")
+        shutil.rmtree(old, ignore_errors=True)
 
 
 def compact_checkpoints(spark: SparkSession, ckpt_dir: str) -> int:

@@ -1006,6 +1006,9 @@ def q_dedup_components(spark, sf_dir):
         labels = new_labels
         if changed == 0:
             break
+    edges.unpersist()  # dead once the loop converges (labels are frozen)
+    # the final labels generation stays pinned — the returned plan reads its
+    # blocks; it is freed when the session's block store evicts or resets
     sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
     return labels.join(sizes, on="comp").select(
         "doc_id", "comp", "comp_size"

@@ -41,9 +41,22 @@ WEBSITES_DIM = T.StructType(
 
 
 def _latest_version(path: str) -> str | None:
-    """The committed version name from the pointer file, or None."""
+    """The committed version name from the pointer file, or None.
+
+    A dim dir WITHOUT a pointer but WITH parquet content is a
+    pre-versioned-layout store — RAISE rather than silently treat existing
+    rows as an empty dim (the next insert would commit v00001 with only the
+    new rows and permanently hide the old ones)."""
     ptr = os.path.join(path, "_LATEST")
     if not os.path.isfile(ptr):
+        if os.path.isdir(path) and any(
+            f.endswith(".parquet") or f == "_SUCCESS" for f in os.listdir(path)
+        ):
+            raise ValueError(
+                f"{path} holds a pre-versioned dim layout (parquet files, no "
+                "_LATEST pointer) — migrate it by moving the files into a "
+                "v00001/ subdir and writing 'v00001' to _LATEST."
+            )
         return None
     with open(ptr) as f:
         v = f.read().strip()

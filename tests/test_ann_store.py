@@ -22,7 +22,7 @@ def _clean_tables(spark, sf_dir):
         f"simhash_fps_{key}", f"text_lsh_{key}", f"text_shingles_{key}",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        AS._VALIDATED.discard(name)
+        AS._VALIDATED.pop(name, None)
 
 
 def test_lsh_index_build_once_and_rebuild_on_mismatch(spark, sf_dir):
@@ -34,7 +34,7 @@ def test_lsh_index_build_once_and_rebuild_on_mismatch(spark, sf_dir):
     assert name in AS._VALIDATED
     assert AS.ensure_lsh_index(spark, sf_dir) == name
     # a stale table (wrong row count, e.g. source regenerated) rebuilds
-    AS._VALIDATED.discard(name)
+    AS._VALIDATED.pop(name, None)
     spark.sql(f"DROP TABLE {name}")
     AS._drop_stale(spark, name)
     spark.createDataFrame([(1, "0:0")], "vec_id long, bucket string").write.mode(
@@ -42,6 +42,39 @@ def test_lsh_index_build_once_and_rebuild_on_mismatch(spark, sf_dir):
     ).format("parquet").saveAsTable(name)
     assert AS.ensure_lsh_index(spark, sf_dir) == name
     assert spark.table(name).count() == n * ANN_BANDS
+
+
+def test_source_signature_triggers_rebuild(spark, sf_dir, tmp_path):
+    """Regenerating the source IN PLACE with the same row count must rebuild
+    the index — a count-only check would serve stale buckets for new data."""
+    import shutil as sh
+
+    src = str(tmp_path / "sfcopy")
+    import os
+
+    os.makedirs(src)
+    src_pq = f"{sf_dir}/embeddings.parquet"
+    if os.path.isdir(src_pq):
+        sh.copytree(src_pq, f"{src}/embeddings.parquet")
+    else:
+        sh.copy(src_pq, f"{src}/embeddings.parquet")
+    name = AS.ensure_lsh_index(spark, src)
+    first = AS._read_sig(spark, name)
+    assert first is not None
+    # same rows, new file mtimes — the signature must change and ensure_*
+    # must rebuild (memo AND sidecar both invalidated)
+    emb = spark.read.parquet(f"{src}/embeddings.parquet").localCheckpoint(eager=True)
+    if os.path.isdir(f"{src}/embeddings.parquet"):
+        sh.rmtree(f"{src}/embeddings.parquet")
+    else:
+        os.remove(f"{src}/embeddings.parquet")
+    emb.write.parquet(f"{src}/embeddings.parquet")
+    assert AS._source_sig(src, "embeddings") != first
+    name2 = AS.ensure_lsh_index(spark, src)
+    assert name2 == name
+    assert AS._read_sig(spark, name) != first  # rebuilt against new source
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    AS._VALIDATED.pop(name, None)
 
 
 def test_bucket_search_reads_index_with_pushed_bucket_filter(spark, sf_dir):

@@ -208,6 +208,22 @@ def test_loader_raises_on_torn_or_alien_checkpoints(spark, world_dfs):
         assert healed.seen.count() == full_seen
         assert os.path.isfile(os.path.join(rd2, ".compacted"))
 
+        # torn compaction, second window: crash AFTER the swap but BEFORE
+        # the .compacted marker — live is already the compacted set and the
+        # old dir lingers; the loader must finish (marker + old cleanup) and
+        # must NOT double-union older rounds
+        compacted_rows = healed.seen.localCheckpoint(eager=True)  # pin off-path
+        os.remove(os.path.join(rd2, ".compacted"))
+        os.rename(
+            os.path.join(rd2, "seen_delta"), os.path.join(rd2, "seen_delta__old")
+        )
+        # live := compacted set (what rename(tmp, live) left); old := pre-swap
+        compacted_rows.write.parquet(os.path.join(rd2, "seen_delta"))
+        healed2 = fr.load_checkpoint(spark, ckpt)
+        assert healed2.seen.count() == full_seen
+        assert os.path.isfile(os.path.join(rd2, ".compacted"))
+        assert not os.path.isdir(os.path.join(rd2, "seen_delta__old"))
+
         # a .done round with NO delta (pre-delta layout / unrecoverable tear)
         shutil.rmtree(os.path.join(rd1, "seen_delta"))
         with pytest.raises(FileNotFoundError, match="seen_delta"):

@@ -101,6 +101,28 @@ def test_reader_mid_commit_sees_complete_version(spark):
         shutil.rmtree(d, ignore_errors=True)
 
 
+def test_legacy_layout_raises_instead_of_reading_empty(spark):
+    """A pre-versioned dim dir (parquet files, no _LATEST) must raise, not
+    load as an empty dim — a silent empty load would let the next insert
+    commit v00001 with only the new rows and hide all existing ones."""
+    import os
+    import tempfile
+
+    import pytest
+
+    d = tempfile.mkdtemp(prefix="oddb_dimlegacy_")
+    path = f"{d}/websites"
+    try:
+        spark.createDataFrame(
+            [(1, "http://a.example/")], "website_id long, url string"
+        ).write.parquet(path)
+        assert any(f == "_SUCCESS" for f in os.listdir(path))
+        with pytest.raises(ValueError, match="pre-versioned"):
+            DS.load(spark, path)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_append_docs_bucketed(spark):
     import tempfile as tf
 
