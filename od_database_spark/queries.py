@@ -976,7 +976,12 @@ def q_dedup_components(spark, sf_dir):
     eager localCheckpoint (the frontier.expand_round pattern — plan trees
     explode by step 3 otherwise) and unpersists the dead generation.
     Iterations ≤ graph diameter; each is one slim (doc_id, comp) shuffle.
-    Output: (doc_id, comp, comp_size), total-ordered by doc_id."""
+    Near-dup graphs are short-diameter by construction (components are
+    near-clique clusters of duplicates), so propagation converges in a few
+    rounds; for adversarial long-chain graphs the known upgrade is
+    alternating large/small-star contraction (O(log n) rounds, same
+    per-round shuffle shape).  Output: (doc_id, comp, comp_size),
+    total-ordered by doc_id."""
     verified = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
     edges = verified.unionByName(
         verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
