@@ -227,6 +227,59 @@ def test_incremental_append_equals_full_rebuild(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_ivf_nprobe_recall_monotone_and_exact_at_k(spark, sf_dir):
+    """IVF recall contract: top-5 overlap with brute-force cosine is
+    NON-DECREASING in nprobe (the multi-probe knob buys recall), and at
+    nprobe=K the search degenerates to brute force (identical top-5, same
+    order).  At nprobe=2 on random synthetic gaussians recall is modest by
+    design — the knob, not the default, is the guarantee."""
+    from pyspark.sql import functions as F2
+
+    from od_database_spark.queries import REGISTRY
+
+    fn_bf, _ = REGISTRY["embedding_topk"]
+    brute = [r["vec_id"] for r in fn_bf(spark, sf_dir).collect()][:5]
+
+    e = t(spark, sf_dir, "embeddings")
+    cents_tbl, cells_tbl = AS.ensure_ivf_index(spark, sf_dir)
+    cells = spark.table(cells_tbl)
+    qrow = e.filter(F2.col("vec_id") == 0)
+    qv = qrow.select(F2.col("embedding").alias("qe"))
+    dot = F2.aggregate(
+        F2.zip_with("embedding", "qe", lambda x, y: x.cast("double") * y.cast("double")),
+        F2.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    norm = lambda c: F2.sqrt(
+        F2.aggregate(
+            F2.transform(c, lambda x: x.cast("double") * x.cast("double")),
+            F2.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+    def top5(nprobe):
+        qcells = AS.query_cells(qrow, spark.table(cents_tbl), nprobe=nprobe)
+        cands = (
+            cells.filter(F2.col("vec_id") != 0)
+            .join(F2.broadcast(qcells), on=F2.col("cell") == F2.col("qc"))
+            .crossJoin(F2.broadcast(qv))
+        )
+        out = (
+            cands.select(
+                "vec_id",
+                F2.round(dot / (norm(F2.col("embedding")) * norm(F2.col("qe"))), 4).alias("cos"),
+            )
+            .orderBy(F2.desc("cos"), F2.asc("vec_id"))
+            .limit(5)
+        )
+        return [r["vec_id"] for r in out.collect()]
+
+    overlaps = [len(set(top5(np_)) & set(brute)) for np_ in (2, 8, 16)]
+    assert overlaps == sorted(overlaps), overlaps  # recall monotone in nprobe
+    assert top5(16) == brute  # exhaustive probe == brute force, exact order
+
+
 def test_store_backed_results_match_inline_recompute(spark, sf_dir):
     """The persisted keys are bit-identical to a fresh recompute."""
     from od_database_spark.operators.dedup import ann_band_buckets
