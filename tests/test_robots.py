@@ -147,3 +147,64 @@ def test_unparseable_crawl_delay_keeps_prior_value(spark):
     assert got["bad-after-good.example"] == 10.0
     assert got["only-bad.example"] is None  # stays null -> downstream default
     assert got["good-after-bad.example"] == 4.0
+
+
+def test_parse_robots_fuzz_vs_robotparser(spark):
+    """Property fuzz: random robots.txt bodies (UA runs, comments, malformed
+    delays, mixed groups, blank lines) must agree with the stdlib
+    robotparser on both the '*' group's crawl delay and every disallow
+    decision."""
+    import random
+
+    rng = random.Random(20260816)
+    agents = ["*", "googlebot", "oddbbot", "foo"]
+    paths = ["/a/", "/a/b/", "/priv/", "/x", "/", "/q?x=1"]
+    # stdlib robotparser only accepts DIGIT-only delays (crawl_delay uses
+    # isdigit->int), so the fuzz oracle can't see fractional values — float
+    # parsing is covered by test_unparseable_crawl_delay_keeps_prior_value
+    delays = ["1", "5", "10s", "soon", "", "3"]
+
+    def gen_body():
+        # at most ONE '*' group per body: stdlib robotparser silently DROPS
+        # later duplicate '*' entries (_add_entry keeps only the first
+        # default_entry), while this engine merges them like RFC 9309 says —
+        # the fuzz oracle can only compare on the shared semantics
+        n_groups = rng.randint(1, 5)
+        star_group = rng.randrange(n_groups)
+        lines = []
+        for g in range(n_groups):
+            pool = agents if g == star_group else agents[1:]
+            for _ in range(rng.randint(1, 2)):  # UA run
+                lines.append(f"User-agent: {rng.choice(pool)}")
+            for _ in range(rng.randint(0, 4)):
+                kind = rng.random()
+                if kind < 0.5:
+                    # non-empty paths only: stdlib turns an EMPTY Disallow
+                    # into a first-match-wins allow-all RULE (robotparser
+                    # quirk); RFC 9309 (and this engine) just ignores it —
+                    # the dedicated samples cover empty-disallow handling
+                    lines.append(f"Disallow: {rng.choice(paths)}")
+                elif kind < 0.8:
+                    lines.append(f"Crawl-delay: {rng.choice(delays)}")
+                else:
+                    lines.append("# comment")
+            if rng.random() < 0.7:
+                lines.append("")
+        return "\n".join(lines)
+
+    bodies = [(f"h{i}.fuzz", gen_body()) for i in range(120)]
+    raw = spark.createDataFrame(bodies, "host string, robots_txt string")
+    got = {
+        r["host"]: (r["crawl_delay"], list(r["disallow_prefixes"] or []))
+        for r in parse_robots(raw).collect()
+    }
+    for host, body in bodies:
+        rp = _oracle(body)
+        delay, prefixes = got[host]
+        want_delay = rp.crawl_delay("*")
+        assert delay == (float(want_delay) if want_delay is not None else None), (
+            host, body, delay, want_delay,
+        )
+        for p in ["/a/", "/a/b/x", "/priv/f", "/x", "/q?x=1", "/other"]:
+            ours = not any(p.startswith(pref) for pref in prefixes)
+            assert ours == rp.can_fetch("*", p), (host, body, p, prefixes)
