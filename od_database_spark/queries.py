@@ -822,13 +822,120 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
     return _candidates_from_bands(_minhash_bands(d))
 
 
+def _indexed(spark: SparkSession, sf_dir: str, ensure_fn, inline_fn) -> DataFrame:
+    """Read a persisted index table (operators/ann_store.py), falling back
+    to the bit-identical inline computation when the store can't be built
+    (read-only warehouse / no writable cwd).  The store is an optimization
+    — never a correctness requirement."""
+    try:
+        return spark.table(ensure_fn(spark, sf_dir))
+    except Exception:
+        return inline_fn()
+
+
 def _store_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Candidate pairs fed from the PERSISTED text LSH band table."""
+    """Candidate pairs fed from the persisted text LSH band table (inline
+    band computation as the no-store fallback)."""
     from .operators import ann_store
 
-    return _candidates_from_bands(
-        spark.table(ann_store.ensure_text_lsh_index(spark, sf_dir))
+    bands = _indexed(
+        spark,
+        sf_dir,
+        ann_store.ensure_text_lsh_index,
+        lambda: _minhash_bands(t(spark, sf_dir, "documents")),
     )
+    return _candidates_from_bands(bands)
+
+
+def _lsh_keyed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, bucket) rows from the persisted embedding LSH table, inline
+    band hashing as the no-store fallback."""
+    from .operators import ann_store
+    from .operators.dedup import ann_band_buckets
+
+    return _indexed(
+        spark,
+        sf_dir,
+        ann_store.ensure_lsh_index,
+        lambda: t(spark, sf_dir, "embeddings").select(
+            "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+        ),
+    )
+
+
+def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, shingle) distinct rows from the persisted inverted index,
+    inline re-shingling as the no-store fallback."""
+    from .operators import ann_store
+
+    def inline():
+        d = t(spark, sf_dir, "documents")
+        words = F.filter(F.split("text", " "), lambda w: w != "")
+        return d.select(
+            "doc_id",
+            F.explode(
+                F.array_distinct(
+                    F.transform(
+                        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
+                        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+                    )
+                )
+            ).alias("shingle"),
+        )
+
+    return _indexed(spark, sf_dir, ann_store.ensure_shingle_index, inline)
+
+
+def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, simhash) fingerprints from the persisted table, inline
+    hashing as the no-store fallback."""
+    from .operators import ann_store
+    from .operators.dedup import simhash
+
+    return _indexed(
+        spark,
+        sf_dir,
+        ann_store.ensure_simhash_index,
+        lambda: simhash(t(spark, sf_dir, "documents"), "text", "doc_id"),
+    )
+
+
+def _ivf_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(centroids, cells) from the persisted IVF index, inline deterministic
+    build (same selection + assignment expressions) as the no-store
+    fallback."""
+    from .operators import ann_store
+
+    try:
+        cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
+        return spark.table(cents_tbl), spark.table(cells_tbl)
+    except Exception:
+        e = t(spark, sf_dir, "embeddings")
+        cents = (
+            e.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+            .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
+            .limit(IVF_K)
+        )
+        l2 = F.aggregate(
+            F.zip_with(
+                "embedding",
+                "cent",
+                lambda x, y: (x.cast("double") - y.cast("double"))
+                * (x.cast("double") - y.cast("double")),
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        assigned = e.crossJoin(F.broadcast(cents)).select(
+            "vec_id", "cent_id", l2.alias("d2")
+        )
+        best = assigned.groupBy("vec_id").agg(
+            F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
+        )
+        cells = e.join(best, on="vec_id").select(
+            "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
+        )
+        return cents, cells
 
 
 def q_minhash_lsh(spark, sf_dir):
@@ -887,14 +994,12 @@ def q_ngram_jaccard(spark, sf_dir):
     O(|candidates| × shingles-per-doc).  Candidates read the persisted band
     table and the shingle material reads the persisted inverted index
     (ann_store) — NOTHING re-splits document text at query time."""
-    from .operators import ann_store
-
     cand = _store_candidates(spark, sf_dir)
     # |A∩B| per candidate pair via exploded-shingle joins over the stored
     # inverted index: the joins carry only slim (doc_id, shingle) rows — the
     # arrays never ride a shuffle — and the fan-out is bounded by
     # |candidates| × shingles-per-doc
-    ex = spark.table(ann_store.ensure_shingle_index(spark, sf_dir))
+    ex = _shingle_rows(spark, sf_dir)
     sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
     ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
     eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
@@ -1201,11 +1306,10 @@ def q_embedding_bucket_search(spark, sf_dir):
     bucket pruning — only the matching bucket files are read; the corpus
     NEVER recomputes its bucket keys at query time), and brute-force cosine
     runs only over the candidate ids (top 5)."""
-    from .operators import ann_store
     from .operators.dedup import ann_band_buckets
 
     e = t(spark, sf_dir, "embeddings")
-    idx = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
+    idx = _lsh_keyed(spark, sf_dir)
     # phase 1 (query planning): the query's own bucket keys — an O(bands)
     # computation on ONE vector, what an index lookup does at scale.
     q_buckets = [
@@ -1268,12 +1372,10 @@ def q_simhash(spark, sf_dir):
     """60-bit SimHash fingerprints per document (sign-aggregated word-hash
     bits) — the operator lives in operators/dedup.py; this is its
     oracle-checked query form."""
-    from .operators import ann_store
-
     # index-lookup form: fingerprints come from the persisted table
     # (hashed once at ingest); the doc_id bound prunes row groups
     # (table is doc_id-sorted).  doc_id < 500 exists at every sf.
-    fps = spark.table(ann_store.ensure_simhash_index(spark, sf_dir))
+    fps = _simhash_fps(spark, sf_dir)
     return fps.filter(F.col("doc_id") < 500).orderBy("doc_id").limit(100)
 
 
@@ -1302,10 +1404,9 @@ def q_simhash_neardup(spark, sf_dir):
     Fingerprints READ from the persisted table (ann_store — hashed once at
     ingest, 16 B/doc); candidate banding + hamming verify via
     operators/dedup.near_pairs_from_fingerprints."""
-    from .operators import ann_store
     from .operators.dedup import near_pairs_from_fingerprints
 
-    fps = spark.table(ann_store.ensure_simhash_index(spark, sf_dir))
+    fps = _simhash_fps(spark, sf_dir)
     sh = fps.filter(F.col("doc_id") < 300)
     return (
         near_pairs_from_fingerprints(sh, "doc_id", max_hamming=24, bands=4)
@@ -1344,11 +1445,10 @@ def q_embedding_neardup(spark, sf_dir):
     dedup-pipeline form (operators/dedup.embedding_near_dup) as an
     oracle-checked query.  Bucket keys come from the persisted index table
     (ann_store) — the self-join reads it co-located on both sides."""
-    from .operators import ann_store
     from .operators.dedup import embedding_near_dup
 
     e = t(spark, sf_dir, "embeddings")
-    keyed = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
+    keyed = _lsh_keyed(spark, sf_dir)
     return (
         embedding_near_dup(e, "embedding", "vec_id", threshold=0.25, keyed=keyed)
         .orderBy("id_a", "id_b")
@@ -1386,11 +1486,9 @@ def q_embedding_batch_ann(spark, sf_dir):
     ``bucket``, so the self-join is co-located (zero exchange of the index
     rows); embeddings join back per side after distinct pairs; top-k per
     query is a bounded window (WindowGroupLimit)."""
-    from .operators import ann_store
-
     e = t(spark, sf_dir, "embeddings")
     is_q = F.col("vec_id") % 41 == 7
-    keyed = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
+    keyed = _lsh_keyed(spark, sf_dir)
     qk = keyed.filter(is_q).select(F.col("vec_id").alias("q_id"), "bucket")
     ck = keyed.filter(~is_q).select(F.col("vec_id").alias("c_id"), "bucket")
     pairs = qk.join(ck, on="bucket").select("q_id", "c_id").distinct()
@@ -1453,11 +1551,10 @@ def q_embedding_dedup_keep(spark, sf_dir):
     deterministic, single pass, the standard web-corpus keeper rule).
     Output: kept-count and dropped-count per label.  Bucket keys come from
     the persisted index table (ann_store)."""
-    from .operators import ann_store
     from .operators.dedup import embedding_near_dup
 
     e = t(spark, sf_dir, "embeddings")
-    keyed = spark.table(ann_store.ensure_lsh_index(spark, sf_dir))
+    keyed = _lsh_keyed(spark, sf_dir)
     pairs = embedding_near_dup(e, "embedding", "vec_id", threshold=0.25, keyed=keyed)
     drops = pairs.select(F.col("id_b").alias("vec_id")).distinct()
     flagged = e.join(drops.withColumn("_drop", F.lit(True)), on="vec_id", how="left")
@@ -1517,9 +1614,7 @@ def q_embedding_ivf_search(spark, sf_dir):
     from .operators import ann_store
 
     e = t(spark, sf_dir, "embeddings")
-    cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
-    cents = spark.table(cents_tbl)
-    cells = spark.table(cells_tbl)
+    cents, cells = _ivf_frames(spark, sf_dir)
     qrow = e.filter(F.col("vec_id") == 0)
     qcells = ann_store.query_cells(qrow, cents, IVF_NPROBE)
     qv = qrow.select(F.col("embedding").alias("qe"))

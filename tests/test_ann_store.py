@@ -227,6 +227,34 @@ def test_incremental_append_equals_full_rebuild(spark, sf_dir):
             spark.sql(f"DROP TABLE IF EXISTS {name}")
 
 
+def test_queries_fall_back_inline_without_store(spark, sf_dir, monkeypatch):
+    """The persisted index is an optimization, never a requirement: with
+    every ensure_* raising (read-only warehouse), each store-backed query
+    must fall back to the inline computation and return IDENTICAL rows."""
+    reps = [
+        "minhash_lsh", "ngram_jaccard", "simhash_neardup",
+        "embedding_bucket_search", "embedding_batch_ann",
+        "embedding_ivf_search", "embedding_neardup",
+    ]
+    normal = {}
+    for name in reps:
+        fn, _ = REGISTRY[name]
+        normal[name] = sorted(map(tuple, fn(spark, sf_dir).collect()))
+
+    def boom(*a, **k):
+        raise RuntimeError("no writable warehouse")
+
+    for ens in (
+        "ensure_lsh_index", "ensure_ivf_index", "ensure_text_lsh_index",
+        "ensure_shingle_index", "ensure_simhash_index",
+    ):
+        monkeypatch.setattr(AS, ens, boom)
+    for name in reps:
+        fn, _ = REGISTRY[name]
+        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        assert got == normal[name], name
+
+
 def test_ivf_nprobe_recall_monotone_and_exact_at_k(spark, sf_dir):
     """IVF recall contract: top-5 overlap with brute-force cosine is
     NON-DECREASING in nprobe (the multi-probe knob buys recall), and at
