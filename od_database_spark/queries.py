@@ -1198,13 +1198,10 @@ def q_embedding_lsh_ann(spark, sf_dir):
     sign-bit hash tables of ANN_ROWS hyperplanes each; output is the
     (band, bucket) occupancy histogram.  Bucket count = bands × 2^rows is a
     PARAMETER (ann_planes), not a fixed constant — at 10^10 vectors `rows`
-    grows so per-cell candidate work stays bounded."""
-    from .operators.dedup import ann_band_buckets
-
-    e = t(spark, sf_dir, "embeddings")
-    k = e.select(
-        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
-    )
+    grows so per-cell candidate work stays bounded.  Reads the persisted
+    band table when available (this query IS the occupancy view of the
+    index); the co-located layout makes the histogram a bucket-local agg."""
+    k = _lsh_keyed(spark, sf_dir)
     return k.groupBy("bucket").agg(F.count("*").alias("cnt")).orderBy("bucket")
 
 
