@@ -33,6 +33,11 @@ def robots_rules_col(txt: Column) -> Column:
 
     def step(acc: Column, raw: Column) -> Column:
         l2 = F.trim(F.regexp_replace(raw, "#.*$", ""))
+        # a COMMENT-ONLY line is absent per RFC 9309 — it must not end a
+        # User-agent run (previously 'User-agent: *\\n# c\\nUser-agent: x'
+        # split the run and dropped the '*' group's rules).  True blank
+        # lines keep their run-terminating behavior.
+        is_comment_only = (F.trim(raw) != "") & (l2 == "")
         key = F.lower(F.trim(F.substring_index(l2, ":", 1)))
         val = F.trim(F.regexp_extract(l2, "^[^:]*:(.*)$", 1))
         is_ua = key == F.lit("user-agent")
@@ -58,11 +63,13 @@ def robots_rules_col(txt: Column) -> Column:
             ~is_ua & (key == F.lit("disallow")) & acc["active"] & (val != ""),
             F.array_append(acc["prefixes"], val),
         ).otherwise(acc["prefixes"])
-        return F.struct(
-            active.alias("active"),
-            delay.alias("delay"),
-            prefixes.alias("prefixes"),
-            is_ua.alias("in_ua"),
+        return F.when(is_comment_only, acc).otherwise(
+            F.struct(
+                active.alias("active"),
+                delay.alias("delay"),
+                prefixes.alias("prefixes"),
+                is_ua.alias("in_ua"),
+            )
         )
 
     return F.aggregate(

@@ -147,19 +147,11 @@ def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     return name
 
 
-def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
-    """IVF build pass: deterministic K-centroid selection (TakeOrdered on
-    md5(vec_id) — a replayable uniform sample), broadcast O(N·K) assignment,
-    arg-min per vector; the inverted lists (vec_id, embedding) land
-    PARTITIONED BY cell so the query side prunes to its probed cells."""
-    cents = (
-        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-        .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
-        .limit(IVF_K)
-    )
-    cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
-    spark = emb.sparkSession
-    cents_tbl = spark.table(cents_name)
+def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
+    """Nearest-centroid assignment: broadcast O(N·K) L2, map-side arg-min.
+    THE single source of the assignment expression — build, incremental
+    append, and the queries-side no-store fallback all call this, so the
+    paths can never diverge."""
     l2 = F.aggregate(
         F.zip_with(
             "embedding",
@@ -170,15 +162,36 @@ def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
-    assigned = emb.crossJoin(F.broadcast(cents_tbl)).select(
+    assigned = emb.crossJoin(F.broadcast(cents)).select(
         "vec_id", "cent_id", l2.alias("d2")
     )
     best = assigned.groupBy("vec_id").agg(
         F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
     )
-    cells = emb.join(best, on="vec_id").select(
+    return emb.join(best, on="vec_id").select(
         "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
     )
+
+
+def ivf_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(centroids, cells) as DataFrames: deterministic K-centroid selection
+    (TakeOrdered on md5(vec_id) — a replayable uniform sample, total order)
+    plus the broadcast assignment.  Used by the table build AND as the
+    queries-side fallback when the store can't be written."""
+    cents = (
+        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
+        .limit(IVF_K)
+    )
+    return cents, _assign_cells(emb, cents)
+
+
+def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
+    """IVF build pass (ivf_frames persisted): the inverted lists
+    (vec_id, embedding) land PARTITIONED BY cell so the query side prunes
+    to its probed cells."""
+    cents, cells = ivf_frames(emb)
+    cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
     (
         cells.write.mode("overwrite")
         .partitionBy("cell")
@@ -214,26 +227,7 @@ def append_ivf_vectors(delta: DataFrame, cents_name: str, cells_name: str) -> No
     coarse quantizer is a separate rebuild decision — and append them to
     their inverted-list partitions."""
     spark = delta.sparkSession
-    cents = spark.table(cents_name)
-    l2 = F.aggregate(
-        F.zip_with(
-            "embedding",
-            "cent",
-            lambda x, y: (x.cast("double") - y.cast("double"))
-            * (x.cast("double") - y.cast("double")),
-        ),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
-    assigned = delta.crossJoin(F.broadcast(cents)).select(
-        "vec_id", "cent_id", l2.alias("d2")
-    )
-    best = assigned.groupBy("vec_id").agg(
-        F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
-    )
-    cells = delta.join(best, on="vec_id").select(
-        "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
-    )
+    cells = _assign_cells(delta, spark.table(cents_name))
     (
         cells.write.mode("append")
         .partitionBy("cell")
@@ -308,16 +302,15 @@ def build_shingle_table(docs: DataFrame, name: str, n_buckets: int = N_BUCKETS) 
     text engine's inverted-index analog (the reference's ES index stores
     exactly this per-document term material; search/search.py:59-87).  The
     Jaccard verify stage then joins candidate pairs against these slim rows
-    instead of re-splitting and re-exploding every document per query."""
-    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    shingles = F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-        )
-    )
+    instead of re-splitting and re-exploding every document per query.
+    Shingling expression single-sourced from queries._text_shingles so the
+    store and the inline fallback can never diverge."""
+    from ..queries import _text_shingles
+
     (
-        docs.select("doc_id", F.explode(shingles).alias("shingle"))
+        docs.select(
+            "doc_id", F.explode(F.array_distinct(_text_shingles())).alias("shingle")
+        )
         .write.mode("overwrite")
         .bucketBy(n_buckets, "doc_id")
         .sortBy("doc_id")

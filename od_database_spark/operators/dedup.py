@@ -37,10 +37,16 @@ def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
 
 def _word_shingles(text: Column, k: int = 3) -> Column:
     words = F.filter(F.split(text, r"\s+"), lambda w: w != "")
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - (k - 1), F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, k)),
-    )
+    # guard: F.sequence(1, 0) DESCENDS ([1, 0]) instead of yielding an empty
+    # array, and slice(start=0) then throws — a <k-word document must
+    # produce zero shingles, not fail the job
+    return F.when(
+        F.size(words) >= k,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - (k - 1)),
+            lambda i: F.concat_ws(" ", F.slice(words, i, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
 
 
 def minhash_signatures(df: DataFrame, text_col: str, id_col: str) -> DataFrame:

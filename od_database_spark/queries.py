@@ -762,15 +762,28 @@ FROM s GROUP BY lang, pred ORDER BY lang, pred
 SQL_LANG_ID = _sql_lang_id()
 
 
+def _text_shingles():
+    """Word-3-gram shingle array over ``text`` — THE single source for every
+    text-shingle consumer (minhash bands, the persisted shingle index, the
+    inline fallback), so the store and no-store paths can never diverge.
+    Guarded: F.sequence(1, 0) DESCENDS instead of yielding an empty array
+    and slice(start=0) throws, so a <3-word document must short-circuit to
+    zero shingles, not fail the job."""
+    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
+    return F.when(
+        F.size(words) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.size(words) - 2),
+            lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def _minhash_bands(d: DataFrame) -> DataFrame:
     """MinHash band-bucket rows (doc_id, bucket): word-3-gram shingles →
     MH_N minhashes (md5-derived, engine-portable) → MH_N/2 bands of 2.
     This is the text-side LSH index build — ann_store persists it."""
-    words = F.filter(F.split(F.col("text"), " "), lambda w: w != "")
-    shingles = F.transform(
-        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-    )
+    shingles = _text_shingles()
     # hash per OCCURRENCE, no vocab join: md5 is cheap and the alternative
     # (distinct vocabulary + join back) costs two extra shuffles of every
     # occurrence keyed by the shingle STRING.  Here the only shuffle is the
@@ -822,6 +835,22 @@ def _minhash_candidates(d: DataFrame) -> DataFrame:
     return _candidates_from_bands(_minhash_bands(d))
 
 
+def _warn_store_fallback(what: str) -> None:
+    """Make graceful degradation OBSERVABLE: a silently broken index store
+    would leave every query correct but quietly re-paying the full inline
+    recompute the store exists to eliminate (and bench would report
+    'store-backed' timings for the recompute path)."""
+    import warnings
+
+    warnings.warn(
+        f"ann_store unavailable for {what} — falling back to inline "
+        "computation (correct, but the build-once/query-many optimization "
+        "is OFF)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+
+
 def _indexed(spark: SparkSession, sf_dir: str, ensure_fn, inline_fn) -> DataFrame:
     """Read a persisted index table (operators/ann_store.py), falling back
     to the bit-identical inline computation when the store can't be built
@@ -830,6 +859,7 @@ def _indexed(spark: SparkSession, sf_dir: str, ensure_fn, inline_fn) -> DataFram
     try:
         return spark.table(ensure_fn(spark, sf_dir))
     except Exception:
+        _warn_store_fallback(getattr(ensure_fn, "__name__", "index"))
         return inline_fn()
 
 
@@ -870,17 +900,8 @@ def _shingle_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def inline():
         d = t(spark, sf_dir, "documents")
-        words = F.filter(F.split("text", " "), lambda w: w != "")
         return d.select(
-            "doc_id",
-            F.explode(
-                F.array_distinct(
-                    F.transform(
-                        F.sequence(F.lit(1), F.greatest(F.size(words) - 2, F.lit(0))),
-                        lambda i: F.concat_ws(" ", F.slice(words, i, 3)),
-                    )
-                )
-            ).alias("shingle"),
+            "doc_id", F.explode(F.array_distinct(_text_shingles())).alias("shingle")
         )
 
     return _indexed(spark, sf_dir, ann_store.ensure_shingle_index, inline)
@@ -910,32 +931,8 @@ def _ivf_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
         cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
         return spark.table(cents_tbl), spark.table(cells_tbl)
     except Exception:
-        e = t(spark, sf_dir, "embeddings")
-        cents = (
-            e.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
-            .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
-            .limit(IVF_K)
-        )
-        l2 = F.aggregate(
-            F.zip_with(
-                "embedding",
-                "cent",
-                lambda x, y: (x.cast("double") - y.cast("double"))
-                * (x.cast("double") - y.cast("double")),
-            ),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
-        )
-        assigned = e.crossJoin(F.broadcast(cents)).select(
-            "vec_id", "cent_id", l2.alias("d2")
-        )
-        best = assigned.groupBy("vec_id").agg(
-            F.min(F.struct(F.col("d2"), F.col("cent_id"))).alias("_m")
-        )
-        cells = e.join(best, on="vec_id").select(
-            "vec_id", "embedding", F.col("_m.cent_id").alias("cell")
-        )
-        return cents, cells
+        _warn_store_fallback("ivf")
+        return ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
 
 
 def q_minhash_lsh(spark, sf_dir):

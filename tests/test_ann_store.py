@@ -232,9 +232,10 @@ def test_queries_fall_back_inline_without_store(spark, sf_dir, monkeypatch):
     every ensure_* raising (read-only warehouse), each store-backed query
     must fall back to the inline computation and return IDENTICAL rows."""
     reps = [
-        "minhash_lsh", "ngram_jaccard", "simhash_neardup",
+        "minhash_lsh", "ngram_jaccard", "simhash", "simhash_neardup",
         "embedding_bucket_search", "embedding_batch_ann",
-        "embedding_ivf_search", "embedding_neardup",
+        "embedding_ivf_search", "embedding_neardup", "embedding_dedup_keep",
+        "embedding_lsh_ann",
     ]
     normal = {}
     for name in reps:

@@ -47,6 +47,27 @@ def py_simhash(text):
     return out
 
 
+def test_short_docs_yield_no_shingles_without_crashing(spark):
+    """Documents with <3 words must produce ZERO shingles, not fail the job:
+    F.sequence(1, 0) DESCENDS ([1, 0]) and slice(start=0) throws, so the
+    unguarded form crashed on any short document."""
+    from od_database_spark import queries as Q
+
+    short = spark.createDataFrame(
+        [(0, ""), (1, "one"), (2, "two words"), (3, "three words here"),
+         (4, "   "), (5, "a b c d")],
+        "doc_id long, text string",
+    )
+    sigs = D.minhash_signatures(short, "text", "doc_id").collect()
+    assert sorted(r["doc_id"] for r in sigs) == [3, 5]  # only >=3-word docs
+    bands = Q._minhash_bands(short).select("doc_id").distinct().collect()
+    assert sorted(r["doc_id"] for r in bands) == [3, 5]
+    shingle_rows = short.select(
+        "doc_id", F.explode(Q._text_shingles()).alias("s")
+    ).collect()
+    assert sorted({r["doc_id"] for r in shingle_rows}) == [3, 5]
+
+
 def test_exact_dedup(docs):
     kept = sorted(r["doc_id"] for r in D.exact_dedup(docs, "text", "doc_id").collect())
     assert kept == [0, 2, 3, 4, 5]  # doc 1 collapses into 0

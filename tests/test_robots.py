@@ -176,6 +176,10 @@ def test_parse_robots_fuzz_vs_robotparser(spark):
             pool = agents if g == star_group else agents[1:]
             for _ in range(rng.randint(1, 2)):  # UA run
                 lines.append(f"User-agent: {rng.choice(pool)}")
+                if rng.random() < 0.3:
+                    # RFC 9309: comments are absent — they must NOT end the
+                    # UA run (regression: the pre-fix fold split runs here)
+                    lines.append("# mid-run comment")
             for _ in range(rng.randint(0, 4)):
                 kind = rng.random()
                 if kind < 0.5:

@@ -38,8 +38,11 @@ spark.stop()
 
 
 def test_spark_submit_py_files_smoke():
-    spark_home = os.path.join(os.path.dirname(os.__file__), "site-packages", "pyspark")
-    submit = os.path.join(spark_home, "bin", "spark-submit")
+    # derive from the pyspark package itself — os.__file__ points at the
+    # BASE interpreter's stdlib under a venv, and Debian uses dist-packages
+    import pyspark
+
+    submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
     if not os.path.exists(submit):
         pytest.skip("spark-submit not found")
     with tempfile.TemporaryDirectory(prefix="oddb_submit_") as d:
@@ -53,6 +56,9 @@ def test_spark_submit_py_files_smoke():
             f.write(DRIVER)
         env = dict(os.environ)
         env.pop("PYTHONPATH", None)  # nothing from the repo may leak in
+        # pin the workers/driver to THIS interpreter — otherwise spark-submit
+        # resolves whatever python3 is first on PATH (which may lack pyspark)
+        env["PYSPARK_PYTHON"] = env["PYSPARK_DRIVER_PYTHON"] = sys.executable
         out = subprocess.run(
             [submit, "--master", "local[4]", "--py-files", pkg, driver],
             capture_output=True, text=True, env=env, timeout=300, cwd=d,
