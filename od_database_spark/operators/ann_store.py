@@ -9,29 +9,48 @@ READ per query.  This module is that ingest step for the vector side:
   rows, one per (vector, band), stored BUCKETED + SORTED BY ``bucket``.
   Lookups filter on literal bucket keys (pushed + bucket-pruned to the
   matching bucket files); batch self-joins on ``bucket`` are co-located on
-  both sides (zero exchange of the index rows).
-- ``ensure_ivf_index``: the IVF coarse index — a K-row centroid table plus
-  the inverted lists: (vec_id, embedding) PARTITIONED BY cell, so probing
+  both sides (zero exchange of the index rows).  The banding geometry is a
+  PARAMETER (bands, rows): the default serves the oracle-parity queries, and
+  scaled geometries (more rows per band → bands × 2^rows buckets) get their
+  own tables so a grown corpus keeps in-bucket candidate work bounded.
+- ``ensure_ivf_index``: the IVF coarse index — a K-row centroid table
+  (deterministic md5-sample seeds refined by IVF_LLOYD fixed Lloyd
+  iterations — replayable k-means, balances cell occupancy) plus the
+  inverted lists: (vec_id, embedding) PARTITIONED BY cell, so probing
   nprobe cells reads nprobe/K of the data (partition pruning / DPP) and the
   candidate embeddings come straight off the index, no join back.
 
 Build cost is one pass over the corpus per index (the same expressions the
 inline queries used — results are bit-identical); the tables live in the
 session catalog keyed by the source path, and rebuild whenever the source
-CONTENT signature (file names/sizes/mtimes + index params) or row count
-changes — a count-only check would silently serve a stale index after an
-in-place source regeneration.  At 10^10 vectors the build is the ingest job and the
-queries here are the steady-state path.
+CONTENT signature (file names/sizes/mtimes + index params) changes or the
+stored row count diverges from the ``_META`` sidecar — a count-only check
+would silently serve a stale index after an in-place source regeneration.
+
+All metadata IO goes through the Hadoop FileSystem API resolved from the
+path's scheme — the same code path works on local FS, HDFS, and S3A
+warehouses (no ``os``/``shutil`` on warehouse paths).  The ``_META`` sidecar
+(JSON: source signature + expected row count) is committed via
+tmp-write + delete + rename: a crash at any point leaves either the old
+sidecar or none at all — a torn write can invalidate a good table (rebuild,
+safe) but can never validate a stale one.  Incremental appends
+(``append_lsh_vectors``/``append_ivf_vectors``) bump the sidecar's row
+count, so appended vectors that are not in the source dir survive
+revalidation in later sessions instead of being silently rebuilt away.
+
+At 10^10 vectors the build is the ingest job and the queries here are the
+steady-state path.
 """
 
 from __future__ import annotations
 
 import hashlib
+import json
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from ..queries import ANN_BANDS, IVF_K, t
+from ..queries import ANN_BANDS, ANN_ROWS, IVF_K, IVF_LLOYD, t
 
 N_BUCKETS = 16  # catalog bucket count for the LSH table (files per append)
 
@@ -45,80 +64,166 @@ def _key(sf_dir: str) -> str:
     return hashlib.md5(sf_dir.encode()).hexdigest()[:10]
 
 
-def _source_sig(sf_dir: str, table: str) -> str:
+# --- portable filesystem helpers (Hadoop FS API via the session JVM) -------
+
+
+def _fs(spark: SparkSession, path: str):
+    """(FileSystem, Path) for ``path``, resolved by the path's scheme through
+    the session's Hadoop conf — local file, hdfs:// and s3a:// all route
+    through the same API (the cluster-portability contract)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return fs, jpath
+
+
+def _default_params() -> str:
+    from ..queries import ANN_BANDS, ANN_ROWS, IVF_K, IVF_LLOYD, MH_A, MH_B
+
+    return f"{ANN_BANDS}:{ANN_ROWS}:{IVF_K}:{IVF_LLOYD}:{MH_A}:{MH_B}"
+
+
+def _source_sig(
+    spark: SparkSession, sf_dir: str, table: str, params: str | None = None
+) -> str:
     """Content signature of a source parquet path: file names + sizes +
     mtimes (a filesystem stat pass, no data read) plus the index params.
     Catches in-place source regeneration with UNCHANGED row counts — a
     count-only check would silently serve a stale index for new data —
     and any banding/quantizer param change."""
-    import os
-
-    from ..queries import ANN_BANDS, ANN_ROWS, IVF_K, MH_A, MH_B
-
-    path = os.path.join(sf_dir, f"{table}.parquet")
+    path = f"{sf_dir.rstrip('/')}/{table}.parquet"
+    fs, jpath = _fs(spark, path)
     parts = []
-    if os.path.isdir(path):
-        for f in sorted(os.listdir(path)):
-            st = os.stat(os.path.join(path, f))
-            parts.append(f"{f}:{st.st_size}:{st.st_mtime_ns}")
-    elif os.path.isfile(path):
-        st = os.stat(path)
-        parts.append(f"{st.st_size}:{st.st_mtime_ns}")
-    params = f"{ANN_BANDS}:{ANN_ROWS}:{IVF_K}:{MH_A}:{MH_B}"
+    if fs.exists(jpath):
+        st = fs.getFileStatus(jpath)
+        if st.isDirectory():
+            stats = sorted(fs.listStatus(jpath), key=lambda s: s.getPath().getName())
+            for s in stats:
+                parts.append(
+                    f"{s.getPath().getName()}:{s.getLen()}:{s.getModificationTime()}"
+                )
+        else:
+            parts.append(f"{st.getLen()}:{st.getModificationTime()}")
+    params = _default_params() if params is None else params
     return hashlib.md5(("|".join(parts) + "#" + params).encode()).hexdigest()
 
 
-def _sig_path(spark: SparkSession, name: str) -> str:
-    import os
-    from urllib.parse import urlparse
+def _table_dir(spark: SparkSession, name: str) -> str:
+    """The managed table's warehouse location (tables here are all created
+    by this module under the session warehouse)."""
+    wh = spark.conf.get("spark.sql.warehouse.dir").rstrip("/")
+    return f"{wh}/{name.lower()}"
 
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    return os.path.join(wh, name, "_SRC_SIG")
+
+def _read_meta(spark: SparkSession, name: str) -> dict | None:
+    """The table's ``_META`` sidecar ({sig, rows}), or None when absent or
+    torn (unparseable JSON from an interrupted write) — both mean 'do not
+    trust the table', never 'assume valid'."""
+    loc = _table_dir(spark, name)
+    fs, _ = _fs(spark, loc)
+    jvm = spark.sparkContext._jvm
+    dst = jvm.org.apache.hadoop.fs.Path(f"{loc}/_META")
+    # a sidecar that cannot be read or parsed (torn write, checksum
+    # mismatch, concurrent delete) is UNTRUSTED — that forces a rebuild,
+    # which is the safe direction; a genuinely broken filesystem then fails
+    # loudly at the rebuild's write path instead of here
+    from py4j.protocol import Py4JError
+
+    try:
+        if not fs.exists(dst):
+            return None
+        stream = fs.open(dst)
+        try:
+            raw = jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+        finally:
+            stream.close()
+        meta = json.loads(raw)
+        if not isinstance(meta, dict) or "sig" not in meta or "rows" not in meta:
+            return None
+        return meta
+    except (ValueError, TypeError, OSError, Py4JError):
+        return None
 
 
 def _read_sig(spark: SparkSession, name: str) -> str | None:
-    import os
-
-    p = _sig_path(spark, name)
-    if not os.path.isfile(p):
-        return None
-    with open(p) as f:
-        return f.read().strip()
+    meta = _read_meta(spark, name)
+    return meta["sig"] if meta else None
 
 
-def _write_sig(spark: SparkSession, name: str, sig: str) -> None:
-    with open(_sig_path(spark, name), "w") as f:
-        f.write(sig)
+def _write_meta(spark: SparkSession, name: str, sig: str, rows: int) -> None:
+    """Commit the sidecar via tmp-write + delete + rename (one small object;
+    on S3 the rename is a single-object copy+delete, on HDFS an atomic
+    rename).  A crash before the rename leaves the OLD sidecar (or none) —
+    a reader can see a missing/torn sidecar and rebuild, but never a
+    signature claiming a half-written state is valid."""
+    loc = _table_dir(spark, name)
+    fs, _ = _fs(spark, loc)
+    jvm = spark.sparkContext._jvm
+    tmp = jvm.org.apache.hadoop.fs.Path(f"{loc}/_META.tmp")
+    dst = jvm.org.apache.hadoop.fs.Path(f"{loc}/_META")
+    out = fs.create(tmp, True)
+    try:
+        out.write(bytearray(json.dumps({"sig": sig, "rows": int(rows)}).encode()))
+    finally:
+        out.close()
+    fs.delete(dst, False)
+    if not fs.rename(tmp, dst):
+        raise IOError(f"could not commit {loc}/_META")
 
 
-def _table_ok(spark: SparkSession, name: str, expected_rows: int, sig: str) -> bool:
+def _bump_meta_rows(spark: SparkSession, name: str, delta_rows: int) -> None:
+    """Incremental-append bookkeeping: grow the sidecar's expected row count
+    so the next out-of-session ensure_* validates the grown table instead of
+    rebuilding it from the (smaller) source.  A table without a sidecar
+    (built directly via build_*, not ensure_*) has no expectation to
+    maintain — skip."""
+    meta = _read_meta(spark, name)
+    if meta is not None:
+        _write_meta(spark, name, meta["sig"], meta["rows"] + int(delta_rows))
+
+
+def _table_ok(spark: SparkSession, name: str, sig: str) -> bool:
+    """Valid iff the catalog entry, the sidecar signature, and the stored
+    row count all agree.  The count check is against the SIDECAR's
+    expectation (build rows + appended rows), not a source-derived number —
+    that is what lets incremental appends survive revalidation."""
     if not spark.catalog.tableExists(name):
         return False
-    if _read_sig(spark, name) != sig:
+    meta = _read_meta(spark, name)
+    if meta is None or meta["sig"] != sig:
         return False
-    return spark.table(name).count() == expected_rows
+    return spark.table(name).count() == meta["rows"]
 
 
 def _drop_stale(spark: SparkSession, name: str) -> None:
     """Fresh sessions get a fresh in-memory catalog, but managed-table files
     from an earlier session survive under the warehouse dir and block
-    saveAsTable with LOCATION_ALREADY_EXISTS — drop both table and files."""
-    import shutil
-    from urllib.parse import urlparse
-
+    saveAsTable with LOCATION_ALREADY_EXISTS — drop both table and files
+    (directory delete through the Hadoop FS API, portable to object
+    stores)."""
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    wh = urlparse(spark.conf.get("spark.sql.warehouse.dir")).path
-    shutil.rmtree(f"{wh}/{name}", ignore_errors=True)
+    loc = _table_dir(spark, name)
+    fs, jpath = _fs(spark, loc)
+    fs.delete(jpath, True)
 
 
-def build_lsh_table(emb: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> None:
+# --- banded-LSH bucket table ------------------------------------------------
+
+
+def build_lsh_table(
+    emb: DataFrame,
+    name: str,
+    n_buckets: int = N_BUCKETS,
+    tables: list | None = None,
+) -> None:
     """One exploded (vec_id, bucket) row per (vector, band), bucketed+sorted
     by bucket.  Same ann_band_buckets expressions as the inline queries —
-    the stored keys are bit-identical to a per-query recompute."""
+    the stored keys are bit-identical to a per-query recompute.  ``tables``
+    selects a non-default banding geometry (queries.ann_planes)."""
     from .dedup import ann_band_buckets
 
     keyed = emb.select(
-        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"), tables)).alias("bucket")
     )
     (
         keyed.write.mode("overwrite")
@@ -129,22 +234,67 @@ def build_lsh_table(emb: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> No
     )
 
 
-def ensure_lsh_index(spark: SparkSession, sf_dir: str) -> str:
+def ensure_lsh_index(
+    spark: SparkSession, sf_dir: str, bands: int | None = None, rows: int | None = None
+) -> str:
     """Idempotent build of the LSH bucket table for ``sf_dir``'s embeddings;
     returns the catalog table name.  Rebuilds when the source content
-    signature, the index params, or the stored row count changes."""
-    name = f"ann_buckets_{_key(sf_dir)}"
-    sig = _source_sig(sf_dir, "embeddings")
+    signature, the index params, or the stored row count changes.  A
+    non-default (bands, rows) geometry gets its OWN table (name + signature
+    both carry the geometry) — the scaled-corpus path sizes the index to the
+    data without touching the oracle-parity default."""
+    key = _key(sf_dir)
+    if bands is None and rows is None:
+        name, tables, n_bands = f"ann_buckets_{key}", None, ANN_BANDS
+        sig = _source_sig(spark, sf_dir, "embeddings")
+    else:
+        from ..queries import ann_planes
+
+        b = ANN_BANDS if bands is None else bands
+        r = ANN_ROWS if rows is None else rows
+        name, tables, n_bands = f"ann_buckets_{key}_b{b}r{r}", ann_planes(b, r), b
+        sig = _source_sig(spark, sf_dir, "embeddings", params=f"geom:{b}:{r}")
     if _VALIDATED.get(name) == sig:
         return name
-    emb = t(spark, sf_dir, "embeddings")
-    expected = emb.count() * ANN_BANDS
-    if not _table_ok(spark, name, expected, sig):
+    if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
-        build_lsh_table(emb, name)
-        _write_sig(spark, name, sig)
+        build_lsh_table(t(spark, sf_dir, "embeddings"), name, tables=tables)
+        _write_meta(spark, name, sig, spark.table(name).count())
     _VALIDATED[name] = sig
     return name
+
+
+def append_lsh_vectors(
+    delta: DataFrame,
+    name: str,
+    n_buckets: int = N_BUCKETS,
+    tables: list | None = None,
+) -> None:
+    """Ingest-incremental growth of the LSH index: explode the NEW vectors'
+    band buckets and append with the table's bucket spec — one file set per
+    catalog bucket per append, the seen_store growth pattern.  Lookups and
+    co-located self-joins keep their plan properties across appends.  The
+    ``_META`` row-count expectation is bumped by the appended rows, so the
+    grown table revalidates in later sessions."""
+    from .dedup import ann_band_buckets
+
+    spark = delta.sparkSession
+    keyed = delta.select(
+        "vec_id", F.explode(ann_band_buckets(F.col("embedding"), tables)).alias("bucket")
+    ).persist()
+    n_new = keyed.count()
+    (
+        keyed.write.mode("append")
+        .bucketBy(n_buckets, "bucket")
+        .sortBy("bucket")
+        .format("parquet")
+        .saveAsTable(name)
+    )
+    keyed.unpersist()
+    _bump_meta_rows(spark, name, n_new)
+
+
+# --- IVF coarse index -------------------------------------------------------
 
 
 def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
@@ -173,16 +323,48 @@ def _assign_cells(emb: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _lloyd_refine(emb: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
+    """Fixed-iteration deterministic Lloyd: assign → per-cell component mean
+    → new centroids, ``iters`` times.  Component means are rounded to 6
+    decimals so the value is insensitive to float summation order (the
+    cross-engine determinism rule — DuckDB's avg accumulates in a different
+    order).  A cell that loses all members is dropped (standard k-means);
+    surviving cells keep their seed's cent_id, so ids stay stable and
+    replayable.  Each iteration's centroids are eagerly checkpointed — the
+    next assignment broadcasts a K-row table, not a growing plan tree."""
+    for _ in range(iters):
+        assigned = _assign_cells(emb, cents)
+        ex = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
+        means = ex.groupBy("cell", "pos").agg(
+            F.avg(F.col("v").cast("double")).alias("m")
+        )
+        cents = (
+            means.groupBy("cell")
+            .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
+            .select(
+                F.col("cell").alias("cent_id"),
+                F.transform("_s", lambda s: F.round(s["m"], 6)).alias("cent"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return cents
+
+
 def ivf_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """(centroids, cells) as DataFrames: deterministic K-centroid selection
+    """(centroids, cells) as DataFrames: deterministic K-seed selection
     (TakeOrdered on md5(vec_id) — a replayable uniform sample, total order)
-    plus the broadcast assignment.  Used by the table build AND as the
-    queries-side fallback when the store can't be written."""
-    cents = (
+    refined by IVF_LLOYD fixed Lloyd iterations (deterministic k-means —
+    replayable because iteration count is fixed and means are
+    order-insensitive after rounding; balances cell occupancy vs the raw
+    sample, which at 10^10 vectors means no hot probe cells), plus the
+    broadcast assignment.  Used by the table build AND as the queries-side
+    fallback when the store can't be written."""
+    seeds = (
         emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
         .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
         .limit(IVF_K)
     )
+    cents = _lloyd_refine(emb, seeds, IVF_LLOYD)
     return cents, _assign_cells(emb, cents)
 
 
@@ -200,62 +382,43 @@ def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
     )
 
 
-def append_lsh_vectors(
-    delta: DataFrame, name: str, n_buckets: int = N_BUCKETS
-) -> None:
-    """Ingest-incremental growth of the LSH index: explode the NEW vectors'
-    band buckets and append with the table's bucket spec — one file set per
-    catalog bucket per append, the seen_store growth pattern.  Lookups and
-    co-located self-joins keep their plan properties across appends."""
-    from .dedup import ann_band_buckets
-
-    keyed = delta.select(
-        "vec_id", F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket")
-    )
-    (
-        keyed.write.mode("append")
-        .bucketBy(n_buckets, "bucket")
-        .sortBy("bucket")
-        .format("parquet")
-        .saveAsTable(name)
-    )
-
-
 def append_ivf_vectors(delta: DataFrame, cents_name: str, cells_name: str) -> None:
     """Ingest-incremental IVF growth: assign NEW vectors to the EXISTING
     (frozen) centroids — the standard IVF append path; re-training the
     coarse quantizer is a separate rebuild decision — and append them to
-    their inverted-list partitions."""
+    their inverted-list partitions.  Bumps the cells table's ``_META`` row
+    expectation so the grown index revalidates across sessions."""
     spark = delta.sparkSession
-    cells = _assign_cells(delta, spark.table(cents_name))
+    cells = _assign_cells(delta, spark.table(cents_name)).persist()
+    n_new = cells.count()
     (
         cells.write.mode("append")
         .partitionBy("cell")
         .format("parquet")
         .saveAsTable(cells_name)
     )
+    cells.unpersist()
+    _bump_meta_rows(spark, cells_name, n_new)
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     """Idempotent IVF build; returns (centroids_table, cells_table)."""
     key = _key(sf_dir)
     cents_name, cells_name = f"ivf_cents_{key}", f"ivf_cells_{key}"
-    sig = _source_sig(sf_dir, "embeddings")
+    sig = _source_sig(spark, sf_dir, "embeddings")
     if _VALIDATED.get(cells_name) == sig:
         return cents_name, cells_name
-    emb = t(spark, sf_dir, "embeddings")
-    n = emb.count()
-    if not (
-        _table_ok(spark, cents_name, min(IVF_K, n), sig)
-        and _table_ok(spark, cells_name, n, sig)
-    ):
+    if not (_table_ok(spark, cents_name, sig) and _table_ok(spark, cells_name, sig)):
         _drop_stale(spark, cents_name)
         _drop_stale(spark, cells_name)
-        build_ivf_tables(emb, cents_name, cells_name)
-        _write_sig(spark, cents_name, sig)
-        _write_sig(spark, cells_name, sig)
+        build_ivf_tables(t(spark, sf_dir, "embeddings"), cents_name, cells_name)
+        _write_meta(spark, cents_name, sig, spark.table(cents_name).count())
+        _write_meta(spark, cells_name, sig, spark.table(cells_name).count())
     _VALIDATED[cells_name] = sig
     return cents_name, cells_name
+
+
+# --- text-side index tables -------------------------------------------------
 
 
 def build_text_lsh_table(docs: DataFrame, name: str, n_buckets: int = N_BUCKETS) -> None:
@@ -276,23 +439,15 @@ def build_text_lsh_table(docs: DataFrame, name: str, n_buckets: int = N_BUCKETS)
 
 
 def ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
-    """Idempotent build of the text band table for ``sf_dir``'s documents.
-    Validation: docs with ≥1 shingle (≥3 words) each contribute exactly
-    MH_N/2 band rows — a cheap native scan, no re-hashing."""
-    from ..queries import MH_N
-
+    """Idempotent build of the text band table for ``sf_dir``'s documents."""
     name = f"text_lsh_{_key(sf_dir)}"
-    sig = _source_sig(sf_dir, "documents")
+    sig = _source_sig(spark, sf_dir, "documents")
     if _VALIDATED.get(name) == sig:
         return name
-    docs = t(spark, sf_dir, "documents")
-    eligible = docs.filter(
-        F.size(F.filter(F.split("text", " "), lambda w: w != "")) >= 3
-    ).count()
-    if not _table_ok(spark, name, eligible * (MH_N // 2), sig):
+    if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
-        build_text_lsh_table(docs, name)
-        _write_sig(spark, name, sig)
+        build_text_lsh_table(t(spark, sf_dir, "documents"), name)
+        _write_meta(spark, name, sig, spark.table(name).count())
     _VALIDATED[name] = sig
     return name
 
@@ -320,25 +475,15 @@ def build_shingle_table(docs: DataFrame, name: str, n_buckets: int = N_BUCKETS) 
 
 
 def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
-    """Idempotent build of the shingle inverted index.  Validation compares
-    the stored distinct-doc count against the eligible-docs count (≥3
-    words) — cheap native scan, no re-shingling."""
+    """Idempotent build of the shingle inverted index."""
     name = f"text_shingles_{_key(sf_dir)}"
-    sig = _source_sig(sf_dir, "documents")
+    sig = _source_sig(spark, sf_dir, "documents")
     if _VALIDATED.get(name) == sig:
         return name
-    docs = t(spark, sf_dir, "documents")
-    eligible = docs.filter(
-        F.size(F.filter(F.split("text", " "), lambda w: w != "")) >= 3
-    ).count()
-    if (
-        not spark.catalog.tableExists(name)
-        or _read_sig(spark, name) != sig
-        or spark.table(name).select("doc_id").distinct().count() != eligible
-    ):
+    if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
-        build_shingle_table(docs, name)
-        _write_sig(spark, name, sig)
+        build_shingle_table(t(spark, sf_dir, "documents"), name)
+        _write_meta(spark, name, sig, spark.table(name).count())
     _VALIDATED[name] = sig
     return name
 
@@ -363,14 +508,13 @@ def ensure_simhash_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent build of the fingerprint table for ``sf_dir``'s documents;
     returns the catalog table name."""
     name = f"simhash_fps_{_key(sf_dir)}"
-    sig = _source_sig(sf_dir, "documents")
+    sig = _source_sig(spark, sf_dir, "documents")
     if _VALIDATED.get(name) == sig:
         return name
-    docs = t(spark, sf_dir, "documents")
-    if not _table_ok(spark, name, docs.count(), sig):
+    if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
-        build_simhash_table(docs, name)
-        _write_sig(spark, name, sig)
+        build_simhash_table(t(spark, sf_dir, "documents"), name)
+        _write_meta(spark, name, sig, spark.table(name).count())
     _VALIDATED[name] = sig
     return name
 

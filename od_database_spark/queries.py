@@ -851,15 +851,39 @@ def _warn_store_fallback(what: str) -> None:
     )
 
 
+# Environmental failures the store fallback is FOR: filesystem errors
+# (read-only warehouse, missing dirs), catalog/analysis errors (alien table
+# at the location), and JVM-side IO raised through py4j.  A genuine BUG in
+# the index build (schema drift, bad validation logic) raises something else
+# and must surface, not silently degrade to the inline path.
+def _store_env_errors() -> tuple:
+    from py4j.protocol import Py4JError
+    from pyspark.errors import AnalysisException
+
+    return (OSError, AnalysisException, Py4JError)
+
+
+# failed (ensure_fn, sf_dir) pairs: the fallback decision is made ONCE per
+# session — a persistently broken store must not re-pay the source stat pass
+# and build attempt on every query call
+_STORE_FAILED: set[tuple[str, str]] = set()
+
+
 def _indexed(spark: SparkSession, sf_dir: str, ensure_fn, inline_fn) -> DataFrame:
     """Read a persisted index table (operators/ann_store.py), falling back
     to the bit-identical inline computation when the store can't be built
     (read-only warehouse / no writable cwd).  The store is an optimization
-    — never a correctness requirement."""
+    — never a correctness requirement.  Failures are memoized per
+    (ensure_fn, sf_dir) so the warning fires once and later calls skip the
+    doomed build attempt."""
+    fn_name = getattr(ensure_fn, "__name__", "index")
+    if (fn_name, sf_dir) in _STORE_FAILED:
+        return inline_fn()
     try:
         return spark.table(ensure_fn(spark, sf_dir))
-    except Exception:
-        _warn_store_fallback(getattr(ensure_fn, "__name__", "index"))
+    except _store_env_errors():
+        _STORE_FAILED.add((fn_name, sf_dir))
+        _warn_store_fallback(fn_name)
         return inline_fn()
 
 
@@ -927,10 +951,13 @@ def _ivf_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     fallback."""
     from .operators import ann_store
 
+    if ("ensure_ivf_index", sf_dir) in _STORE_FAILED:
+        return ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
     try:
         cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
         return spark.table(cents_tbl), spark.table(cells_tbl)
-    except Exception:
+    except _store_env_errors():
+        _STORE_FAILED.add(("ensure_ivf_index", sf_dir))
         _warn_store_fallback("ivf")
         return ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
 
@@ -1073,49 +1100,17 @@ def q_dedup_components(spark, sf_dir):
     """Connected-component dedup — the keep-min-per-COMPONENT policy (the
     common web-corpus alternative to text_dedup_keep's greedy pair rule):
     verified near-dup pairs (MinHash-LSH candidates → Jaccard ≥ 0.2) form an
-    undirected graph; iterative min-label propagation assigns every touched
-    doc its component's minimum doc_id.  Each step cuts lineage with an
-    eager localCheckpoint (the frontier.expand_round pattern — plan trees
-    explode by step 3 otherwise) and unpersists the dead generation.
-    Iterations ≤ graph diameter; each is one slim (doc_id, comp) shuffle.
-    Near-dup graphs are short-diameter by construction (components are
-    near-clique clusters of duplicates), so propagation converges in a few
-    rounds; for adversarial long-chain graphs the known upgrade is
-    alternating large/small-star contraction (O(log n) rounds, same
-    per-round shuffle shape).  Output: (doc_id, comp, comp_size),
-    total-ordered by doc_id."""
+    undirected graph; operators/dedup.connected_components assigns every
+    touched doc its component's minimum doc_id in O(log n) rounds
+    (min-label propagation + pointer jumping — adversarial long chains no
+    longer cost O(diameter) driver-synchronized rounds).  Output:
+    (doc_id, comp, comp_size), total-ordered by doc_id.  The final labels
+    generation stays pinned — the returned plan reads its blocks; it is
+    freed when the session's block store evicts or resets."""
+    from .operators.dedup import connected_components
+
     verified = q_ngram_jaccard(spark, sf_dir).select("doc_a", "doc_b")
-    edges = verified.unionByName(
-        verified.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint(eager=True)
-    labels = (
-        edges.select(F.col("doc_a").alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
-    while True:
-        incoming = edges.join(
-            labels.withColumnRenamed("doc_id", "doc_a"), on="doc_a"
-        ).select(F.col("doc_b").alias("doc_id"), "comp")
-        new_labels = (
-            labels.unionByName(incoming)
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "_old"), on="doc_id")
-            .filter(F.col("comp") != F.col("_old"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
-        if changed == 0:
-            break
-    edges.unpersist()  # dead once the loop converges (labels are frozen)
-    # the final labels generation stays pinned — the returned plan reads its
-    # blocks; it is freed when the session's block store evicts or resets
+    labels, _iters = connected_components(verified)
     sizes = labels.groupBy("comp").agg(F.count("*").alias("comp_size"))
     return labels.join(sizes, on="comp").select(
         "doc_id", "comp", "comp_size"
@@ -1589,15 +1584,18 @@ FROM e GROUP BY label ORDER BY label
 
 IVF_K = 16  # FIXED centroid count — does not grow with the table
 IVF_NPROBE = 2  # cells searched per query (multi-probe recall knob)
+IVF_LLOYD = 2  # fixed Lloyd refinement iterations (deterministic, replayable)
 
 
 def q_embedding_ivf_search(spark, sf_dir):
-    """IVF-style ANN with a FIXED number of deterministic coarse centroids:
-    the IVF_K vectors smallest by md5(vec_id) (a replayable uniform sample —
-    the k-means training step is replaced by deterministic selection so the
-    oracle can replay it).  Assign each vector to its nearest centroid by L2,
-    then MULTI-PROBE the IVF_NPROBE nearest cells of the query vector
-    (cosine top 5) — the standard nprobe recall knob.
+    """IVF-style ANN with a TRAINED deterministic coarse quantizer: seeds
+    are the IVF_K vectors smallest by md5(vec_id) (a replayable uniform
+    sample), refined by IVF_LLOYD fixed Lloyd iterations (per-cell component
+    means rounded to 6dp — order-insensitive, so the oracle can replay the
+    k-means exactly; balanced cells mean no hot probe at 10^10 vectors).
+    Assign each vector to its nearest centroid by L2, then MULTI-PROBE the
+    IVF_NPROBE nearest cells of the query vector (cosine top 5) — the
+    standard nprobe recall knob.
 
     Scale shape: the index is PERSISTED (operators/ann_store.py — built once:
     TakeOrdered centroid selection, broadcast O(N·K) assignment, map-side
@@ -1639,26 +1637,74 @@ def q_embedding_ivf_search(spark, sf_dir):
     )
 
 
-SQL_EMBEDDING_IVF = f"""
-WITH cents AS (
+def _sql_ivf_l2(emb_expr: str, cent_expr: str) -> str:
+    """DuckDB squared-L2 between two list columns — mirrors the fold in
+    ann_store._assign_cells (same element order, same double casts)."""
+    return (
+        f"list_sum(list_transform(range(1, len({emb_expr}) + 1), "
+        f"i -> (CAST({emb_expr}[i] AS DOUBLE) - CAST({cent_expr}[i] AS DOUBLE))"
+        f" * (CAST({emb_expr}[i] AS DOUBLE) - CAST({cent_expr}[i] AS DOUBLE))))"
+    )
+
+
+def _sql_embedding_ivf() -> str:
+    """IVF oracle: md5-sample seeds + IVF_LLOYD unrolled Lloyd iterations
+    (assignment → per-cell per-position avg rounded to 6dp → list rebuild),
+    then assignment to the trained centroids, nprobe ranking, candidate
+    cosine — each CTE mirrors one DataFrame step in ann_store.ivf_frames /
+    q_embedding_ivf_search."""
+    ctes = [
+        f"""c0 AS (
   SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K}),
-assigned AS (
-  SELECT e.vec_id, c.cent_id,
-         list_sum(list_transform(range(1, len(e.embedding) + 1),
-           i -> (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE))
-              * (CAST(e.embedding[i] AS DOUBLE) - CAST(c.cent[i] AS DOUBLE)))) AS d2
-  FROM embeddings e CROSS JOIN cents c),
-cells AS (
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K})"""
+    ]
+    for it in range(IVF_LLOYD):
+        ctes.append(
+            f"""a{it} AS (
+  SELECT e.vec_id, c.cent_id, {_sql_ivf_l2('e.embedding', 'c.cent')} AS d2
+  FROM embeddings e CROSS JOIN c{it} c)"""
+        )
+        ctes.append(
+            f"""m{it} AS (
+  SELECT vec_id, cent_id AS cell FROM (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM a{it}) WHERE rn = 1)"""
+        )
+        ctes.append(
+            f"""p{it} AS (
+  SELECT m.cell, r.i, avg(CAST(e.embedding[r.i] AS DOUBLE)) AS mu
+  FROM m{it} m JOIN embeddings e USING (vec_id)
+  CROSS JOIN range(1, {ANN_DIM} + 1) r(i)
+  GROUP BY m.cell, r.i)"""
+        )
+        ctes.append(
+            f"""c{it + 1} AS (
+  SELECT cell AS cent_id, list(round(mu, 6) ORDER BY i) AS cent
+  FROM p{it} GROUP BY cell)"""
+        )
+    fin = IVF_LLOYD
+    ctes.append(
+        f"""af AS (
+  SELECT e.vec_id, c.cent_id, {_sql_ivf_l2('e.embedding', 'c.cent')} AS d2
+  FROM embeddings e CROSS JOIN c{fin} c)"""
+    )
+    ctes.append(
+        """cells AS (
   SELECT a.vec_id, e.embedding, a.cent_id AS cell FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-    FROM assigned) a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn = 1),
-qcells AS (
+    SELECT vec_id, cent_id,
+           row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+    FROM af) a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn = 1)"""
+    )
+    ctes.append(
+        f"""qcells AS (
   SELECT cent_id AS qc FROM (
     SELECT cent_id, row_number() OVER (ORDER BY d2, cent_id) AS rn
-    FROM assigned WHERE vec_id = 0) WHERE rn <= {IVF_NPROBE}),
-q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
-s AS (
+    FROM af WHERE vec_id = 0) WHERE rn <= {IVF_NPROBE})"""
+    )
+    ctes.append("q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)")
+    ctes.append(
+        """s AS (
   SELECT vec_id,
     list_sum(list_transform(range(1, len(embedding) + 1),
              i -> CAST(embedding[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))) /
@@ -1667,9 +1713,12 @@ s AS (
      sqrt(list_sum(list_transform(range(1, len(qe) + 1),
              i -> CAST(qe[i] AS DOUBLE) * CAST(qe[i] AS DOUBLE))))) AS c
   FROM cells JOIN qcells ON cells.cell = qcells.qc CROSS JOIN q
-  WHERE vec_id <> 0)
-SELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5
-"""
+  WHERE vec_id <> 0)"""
+    )
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5\n"
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1706,7 +1755,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
-    "embedding_ivf_search": (q_embedding_ivf_search, SQL_EMBEDDING_IVF),
+    "embedding_ivf_search": (q_embedding_ivf_search, _sql_embedding_ivf()),
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),

@@ -69,7 +69,7 @@ def test_source_signature_triggers_rebuild(spark, sf_dir, tmp_path):
     else:
         os.remove(f"{src}/embeddings.parquet")
     emb.write.parquet(f"{src}/embeddings.parquet")
-    assert AS._source_sig(src, "embeddings") != first
+    assert AS._source_sig(spark, src, "embeddings") != first
     name2 = AS.ensure_lsh_index(spark, src)
     assert name2 == name
     assert AS._read_sig(spark, name) != first  # rebuilt against new source
@@ -242,18 +242,44 @@ def test_queries_fall_back_inline_without_store(spark, sf_dir, monkeypatch):
         fn, _ = REGISTRY[name]
         normal[name] = sorted(map(tuple, fn(spark, sf_dir).collect()))
 
+    import od_database_spark.queries as Q
+
     def boom(*a, **k):
-        raise RuntimeError("no writable warehouse")
+        raise OSError("no writable warehouse")  # an ENVIRONMENTAL failure
 
     for ens in (
         "ensure_lsh_index", "ensure_ivf_index", "ensure_text_lsh_index",
         "ensure_shingle_index", "ensure_simhash_index",
     ):
         monkeypatch.setattr(AS, ens, boom)
-    for name in reps:
-        fn, _ = REGISTRY[name]
-        got = sorted(map(tuple, fn(spark, sf_dir).collect()))
-        assert got == normal[name], name
+    try:
+        for name in reps:
+            fn, _ = REGISTRY[name]
+            got = sorted(map(tuple, fn(spark, sf_dir).collect()))
+            assert got == normal[name], name
+        # the fallback decision is memoized: every ensure_* failure for this
+        # sf_dir is recorded once, later calls skip the doomed build attempt
+        assert any(d == sf_dir for _, d in Q._STORE_FAILED)
+    finally:
+        Q._STORE_FAILED.clear()  # don't poison later tests' store usage
+
+
+def test_store_bug_surfaces_not_swallowed(spark, sf_dir, monkeypatch):
+    """A NON-environmental failure in the index build (a genuine bug: schema
+    drift, broken validation) must propagate — only IO/catalog errors may
+    degrade to the inline fallback."""
+    import od_database_spark.queries as Q
+
+    def bug(*a, **k):
+        raise AssertionError("schema drift — a build bug, not an env failure")
+
+    monkeypatch.setattr(AS, "ensure_simhash_index", bug)
+    try:
+        fn, _ = REGISTRY["simhash"]
+        with pytest.raises(AssertionError, match="schema drift"):
+            fn(spark, sf_dir).collect()
+    finally:
+        Q._STORE_FAILED.clear()
 
 
 def test_ivf_nprobe_recall_monotone_and_exact_at_k(spark, sf_dir):
@@ -307,6 +333,143 @@ def test_ivf_nprobe_recall_monotone_and_exact_at_k(spark, sf_dir):
     overlaps = [len(set(top5(np_)) & set(brute)) for np_ in (2, 8, 16)]
     assert overlaps == sorted(overlaps), overlaps  # recall monotone in nprobe
     assert top5(16) == brute  # exhaustive probe == brute force, exact order
+
+
+def _copy_source(sf_dir, tmp_path, table="embeddings"):
+    import os
+    import shutil as sh
+
+    src = str(tmp_path / "sfcopy")
+    os.makedirs(src, exist_ok=True)
+    src_pq = f"{sf_dir}/{table}.parquet"
+    if os.path.isdir(src_pq):
+        sh.copytree(src_pq, f"{src}/{table}.parquet")
+    else:
+        sh.copy(src_pq, f"{src}/{table}.parquet")
+    return src
+
+
+def _meta_fs_path(spark, name):
+    from urllib.parse import urlparse
+
+    return urlparse(AS._table_dir(spark, name)).path + "/_META"
+
+
+def test_append_then_ensure_survives_revalidation(spark, sf_dir, tmp_path):
+    """Appended vectors that are NOT in the source dir must survive a
+    revalidation outside the in-session memo (the round-3 gap: appends
+    never updated the row-count expectation, so the next cold ensure_* saw
+    a mismatch and silently rebuilt the appends away)."""
+    src = _copy_source(sf_dir, tmp_path)
+    name = AS.ensure_lsh_index(spark, src)
+    base_rows = spark.table(name).count()
+    emb = t(spark, src, "embeddings")
+    delta = emb.orderBy("vec_id").limit(3).select(
+        (F.col("vec_id") + 10**9).alias("vec_id"), "embedding"
+    )
+    AS.append_lsh_vectors(delta, name)
+    grown = base_rows + 3 * ANN_BANDS
+    assert spark.table(name).count() == grown
+    AS._VALIDATED.clear()  # simulate a fresh session's empty memo
+    assert AS.ensure_lsh_index(spark, src) == name
+    # NOT rebuilt: the appended rows are still there
+    assert spark.table(name).count() == grown
+    # same for the IVF inverted lists
+    cents_tbl, cells_tbl = AS.ensure_ivf_index(spark, src)
+    cells_base = spark.table(cells_tbl).count()
+    AS.append_ivf_vectors(delta, cents_tbl, cells_tbl)
+    AS._VALIDATED.clear()
+    AS.ensure_ivf_index(spark, src)
+    assert spark.table(cells_tbl).count() == cells_base + 3
+    for n in (name, cents_tbl, cells_tbl):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        AS._VALIDATED.pop(n, None)
+
+
+def test_torn_meta_never_validates_stale(spark, sf_dir, tmp_path):
+    """A sidecar write interrupted mid-way (partial JSON) must read as
+    'untrusted' and trigger a rebuild — it may invalidate a good table
+    (safe) but can never validate a stale one."""
+    src = _copy_source(sf_dir, tmp_path)
+    name = AS.ensure_lsh_index(spark, src)
+    full = spark.table(name).count()
+    meta_path = _meta_fs_path(spark, name)
+    with open(meta_path, "w") as f:
+        f.write('{"sig": "abcd1234", "ro')  # torn mid-write
+    assert AS._read_meta(spark, name) is None
+    AS._VALIDATED.clear()
+    assert AS.ensure_lsh_index(spark, src) == name  # rebuilds
+    assert spark.table(name).count() == full
+    meta = AS._read_meta(spark, name)
+    assert meta is not None and meta["rows"] == full  # sidecar healed
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    AS._VALIDATED.pop(name, None)
+
+
+def test_missing_meta_is_untrusted(spark, sf_dir, tmp_path):
+    """A table without its sidecar (e.g. crash between table write and meta
+    commit) must rebuild, not validate."""
+    import os
+
+    src = _copy_source(sf_dir, tmp_path)
+    name = AS.ensure_lsh_index(spark, src)
+    os.remove(_meta_fs_path(spark, name))
+    AS._VALIDATED.clear()
+    assert not AS._table_ok(spark, name, AS._source_sig(spark, src, "embeddings"))
+    AS.ensure_lsh_index(spark, src)
+    assert AS._read_meta(spark, name) is not None
+    spark.sql(f"DROP TABLE IF EXISTS {name}")
+    AS._VALIDATED.pop(name, None)
+
+
+def test_scaled_geometry_store_is_separate_and_larger(spark, sf_dir, tmp_path):
+    """A non-default (bands, rows) geometry gets its OWN table whose bucket
+    key space grows as bands × 2^rows — the scaled-corpus path never
+    clobbers the oracle-parity default index."""
+    src = _copy_source(sf_dir, tmp_path)
+    default = AS.ensure_lsh_index(spark, src)
+    scaled = AS.ensure_lsh_index(spark, src, bands=ANN_BANDS, rows=9)
+    assert scaled != default
+    assert scaled.endswith(f"_b{ANN_BANDS}r9")
+    n_def = spark.table(default).select("bucket").distinct().count()
+    n_scl = spark.table(scaled).select("bucket").distinct().count()
+    assert n_scl > n_def
+    assert n_scl <= ANN_BANDS * 2**9
+    # same vectors, one row per (vector, band) in both geometries
+    assert spark.table(scaled).count() == spark.table(default).count()
+    for n in (default, scaled):
+        spark.sql(f"DROP TABLE IF EXISTS {n}")
+        AS._VALIDATED.pop(n, None)
+
+
+def test_trained_centroids_balance_cells(spark, sf_dir):
+    """The fixed-iteration Lloyd refinement must not worsen cell balance vs
+    the raw md5 sample (at 10^10 vectors an unbalanced cell is a hot probe),
+    must keep every vector assigned exactly once, and must stay
+    deterministic (two builds produce identical centroids)."""
+    from od_database_spark.queries import IVF_K
+
+    emb = t(spark, sf_dir, "embeddings")
+    seeds = (
+        emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
+        .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
+        .limit(IVF_K)
+    )
+
+    def occupancy(cells):
+        return {r["cell"]: r["cnt"] for r in
+                cells.groupBy("cell").agg(F.count("*").alias("cnt")).collect()}
+
+    sampled = occupancy(AS._assign_cells(emb, seeds))
+    cents, cells = AS.ivf_frames(emb)
+    trained = occupancy(cells)
+    assert sum(trained.values()) == sum(sampled.values()) == emb.count()
+    assert max(trained.values()) <= max(sampled.values())
+    # deterministic: a second build yields identical centroid arrays
+    cents2, _ = AS.ivf_frames(emb)
+    a = {r["cent_id"]: list(r["cent"]) for r in cents.collect()}
+    b = {r["cent_id"]: list(r["cent"]) for r in cents2.collect()}
+    assert a == b
 
 
 def test_store_backed_results_match_inline_recompute(spark, sf_dir):
