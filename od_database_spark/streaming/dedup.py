@@ -41,6 +41,36 @@ def stream_urls(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+def _recover_seen_table(spark: SparkSession, seen_table: str, n_buckets: int) -> bool:
+    """Cross-session resume: the seen table is DURABLE state, but Spark's
+    default in-memory catalog forgets it when the session dies — the files
+    survive under the warehouse while tableExists() returns False, and a
+    naive append-mode saveAsTable then turns into a CREATE that dies with
+    LOCATION_ALREADY_EXISTS.  (ann_store._drop_stale handles that collision
+    by DROPPING — correct for a rebuildable index cache, catastrophic here:
+    dropping the seen set would re-admit every URL ever deduplicated.)
+
+    Instead, when the catalog entry is missing but the location holds files,
+    RE-REGISTER the surviving data as a table with the original bucket spec,
+    so the anti-join keeps both its state and its zero-shuffle layout.
+    Returns True iff the table is registered (pre-existing or recovered)."""
+    if spark.catalog.tableExists(seen_table):
+        return True
+    from ..operators.ann_store import _fs, _table_dir
+
+    loc = _table_dir(spark, seen_table)
+    fs, jpath = _fs(spark, loc)
+    if not fs.exists(jpath) or not fs.listStatus(jpath):
+        return False  # genuinely no prior state
+    spark.sql(
+        f"""CREATE TABLE {seen_table} (url STRING, url_hash BIGINT, epoch BIGINT)
+            USING parquet
+            CLUSTERED BY (url_hash) SORTED BY (url_hash) INTO {n_buckets} BUCKETS
+            LOCATION '{loc}'"""
+    )
+    return True
+
+
 def dedup_sink(seen_table: str, out_dir: str, n_buckets: int = N_BUCKETS):
     """foreachBatch sink implementing the idempotent dedup protocol above.
     The epoch output lands at ``{out_dir}/epoch={epoch_id}`` (overwrite —
@@ -49,7 +79,7 @@ def dedup_sink(seen_table: str, out_dir: str, n_buckets: int = N_BUCKETS):
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         cand = with_canonical(batch_df).dropDuplicates(["canon_url"])
-        if spark.catalog.tableExists(seen_table):
+        if _recover_seen_table(spark, seen_table, n_buckets):
             new = seen_store.filter_unseen_bucketed(spark, cand, seen_table)
         else:
             new = cand

@@ -12,12 +12,27 @@ from pyspark.sql import functions as F
 from od_database_spark.streaming import dedup as SD
 
 
+def _purge_table(spark, table):
+    """Drop the catalog entry AND the warehouse files: a recovered seen
+    table is EXTERNAL (registered over surviving files), so DROP alone
+    leaves data behind — which the durable-state recovery would then happily
+    resurrect into the next test."""
+    from urllib.parse import urlparse
+
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    loc = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table
+    ).path
+    shutil.rmtree(loc, ignore_errors=True)
+
+
 @pytest.fixture()
 def dirs(spark):
     d = tempfile.mkdtemp(prefix="oddb_sdedup_")
     table = "stream_seen_test"
+    _purge_table(spark, table)
     yield d, table
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    _purge_table(spark, table)
     shutil.rmtree(d, ignore_errors=True)
 
 
@@ -83,3 +98,53 @@ def test_sink_replay_is_idempotent(spark, dirs):
     sink(batch2, 8)
     assert spark.table(table).count() == 60
     assert spark.read.parquet(f"{out_dir}/epoch=8").count() == 20
+
+
+def test_cross_session_resume_recovers_seen_table(spark, dirs):
+    """The seen table is durable state: when the session (and with it the
+    in-memory catalog) dies but the warehouse files survive, the next run
+    must RE-REGISTER the table — not treat the batch as all-new and not
+    crash with LOCATION_ALREADY_EXISTS — so duplicates from before the
+    restart stay suppressed."""
+    from urllib.parse import urlparse
+
+    d, table = dirs
+    in_dir, out_dir, ckpt = f"{d}/in", f"{d}/out", f"{d}/ckpt"
+    _write_batch(in_dir, "b1.json", [f"http://h{i}.t/a/" for i in range(40)])
+    SD.run_stream_dedup(spark, in_dir, table, out_dir, ckpt)
+    assert spark.table(table).count() == 40
+
+    # simulate session death: files survive, the catalog entry does not.
+    # (dropping a MANAGED table deletes its files, so stash + restore.)
+    loc = urlparse(
+        spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table
+    ).path
+    stash = f"{d}/stash"
+    shutil.copytree(loc, stash)
+    spark.sql(f"DROP TABLE {table}")
+    shutil.copytree(stash, loc)
+    assert not spark.catalog.tableExists(table)
+
+    # 30 repeats + 20 new urls in the "next session"
+    _write_batch(in_dir, "b2.json", [f"http://h{i}.t/a/" for i in range(10, 60)])
+    SD.run_stream_dedup(spark, in_dir, table, out_dir, ckpt)
+    seen = spark.table(table)
+    assert seen.count() == 60  # repeats suppressed across the restart
+    assert spark.read.parquet(f"{out_dir}/epoch=1").count() == 20
+    # the recovered table keeps its bucket layout (zero-shuffle anti-join)
+    from od_database_spark.plans import explain as PL
+
+    probe = spark.createDataFrame(
+        [("http://h0.t/a/", 1)], "canon_url string, url_hash long"
+    )
+    from od_database_spark.operators import seen_store
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = PL.plan_string(
+            seen_store.filter_unseen_bucketed(spark, probe, table), "simple"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert "Bucketed: true" in plan
