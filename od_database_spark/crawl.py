@@ -108,7 +108,8 @@ def run(
         all_images = image_urls[0]
         for df in image_urls[1:]:
             all_images = all_images.unionByName(df)
-        images_df = fetch_ops.fetch_images(all_images)
+        # multi-parent images fetch exactly once (deterministic keeper)
+        images_df = fetch_ops.fetch_images(fr.dedup_image_urls(all_images))
 
     return CrawlResult(
         state=state,

@@ -569,6 +569,39 @@ def expand_round(
     return next_state, fetched, image_urls
 
 
+def dedup_image_urls(image_urls: DataFrame) -> DataFrame:
+    """Fetch-time image dedup: on a real web graph one image is linked from
+    MANY pages (expand_round dedups directory children but each round's
+    image rows keep every parent), and fetch derives bytes AND captions from
+    image_id — so without this, a multi-parent image is fetched and appended
+    once per link.  Keeper = earliest discovery (min (parent_seq, link_idx)),
+    via the same map-side-combining min(struct) arg-min as the directory
+    dedup in expand_round; image_id is the full 64-bit url hash, so same
+    image_id ⇒ same url and the keeper row differs only in provenance."""
+    return (
+        image_urls.groupBy("image_id")
+        .agg(
+            F.min(
+                F.struct(
+                    F.col("parent_seq"),
+                    F.col("link_idx"),
+                    F.col("url"),
+                    F.col("website_id"),
+                    F.col("host"),
+                )
+            ).alias("_w")
+        )
+        .select(
+            F.col("_w.url").alias("url"),
+            F.col("_w.website_id").alias("website_id"),
+            F.col("_w.host").alias("host"),
+            F.col("_w.parent_seq").alias("parent_seq"),
+            F.col("_w.link_idx").alias("link_idx"),
+            "image_id",
+        )
+    )
+
+
 # --- checkpoint / resume ---------------------------------------------------
 
 

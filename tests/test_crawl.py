@@ -244,6 +244,63 @@ def test_loader_raises_on_torn_or_alien_checkpoints(spark, world_dfs):
         shutil.rmtree(ckpt, ignore_errors=True)
 
 
+def test_multi_parent_image_fetched_once(spark):
+    """Two pages linking the SAME image URL must yield exactly one fetched
+    row (fetch derives bytes and captions from image_id, so a duplicate
+    would silently append the same payload twice), with the keeper row
+    attributed to the earliest discovery."""
+    from od_database_spark.operators import fetch as fetch_ops
+
+    host = "shared.test"
+    root = f"http://{host}/"
+    img = f"http://{host}/shared/pic.jpg"
+    pages = spark.createDataFrame(
+        [
+            (root, host, ["a/", "b/"], 0, 0, False),
+            (f"{root}a/", host, [img], 0, 0, False),
+            (f"{root}b/", host, [img], 0, 0, False),
+        ],
+        schema.PAGES,
+    )
+    robots = spark.createDataFrame(
+        [(host, 1.0, [])],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+    accepted = spark.createDataFrame(
+        [(root,)], "url string"
+    ).select(
+        "url",
+        F.xxhash64("url").alias("url_hash"),
+        F.xxhash64("url").alias("website_id"),
+        F.lit(host).alias("host"),
+        F.lit(1).alias("priority"),
+        F.lit(0).cast("long").alias("submit_seq"),
+    )
+    state = fr.initial_state(accepted)
+    image_dfs = []
+    for _ in range(4):
+        if state.frontier.count() == 0:
+            break
+        state, _fetched, images = fr.expand_round(state, pages, robots)
+        image_dfs.append(images)
+    all_images = image_dfs[0]
+    for df in image_dfs[1:]:
+        all_images = all_images.unionByName(df)
+    raw = all_images.collect()
+    assert len(raw) == 2  # both parents emitted the link
+    assert len({r["image_id"] for r in raw}) == 1
+    deduped = fr.dedup_image_urls(all_images)
+    rows = deduped.collect()
+    assert len(rows) == 1
+    # keeper = earliest discovery order (a/ is enqueued before b/)
+    keep = rows[0]
+    earliest = min(raw, key=lambda r: (r["parent_seq"], r["link_idx"]))
+    assert (keep["parent_seq"], keep["link_idx"]) == (
+        earliest["parent_seq"], earliest["link_idx"],
+    )
+    assert fetch_ops.fetch_images(deduped).count() == 1
+
+
 def test_bloom_prefilter_exactness(spark):
     # bloom-accelerated filter_unseen must equal the exact anti-join
     seen_urls = [(world.root_url(i), ) for i in range(200)]
