@@ -191,6 +191,79 @@ def simhash_near_pairs(
     return near_pairs_from_fingerprints(sh, id_col, max_hamming, bands)
 
 
+def connected_components(
+    edges: DataFrame, src: str = "doc_a", dst: str = "doc_b"
+) -> tuple[DataFrame, int]:
+    """Connected components over an undirected edge list: every touched node
+    gets its component's MINIMUM id.  Returns (labels(doc_id, comp), iters).
+
+    Convergence is O(log n) rounds, not O(diameter): each round combines
+    min-label propagation over the edges with a POINTER-JUMPING step
+    (comp := min(comp, comp[comp]) — the label chain halves every round,
+    the two-phase star-contraction bound of Kiveris et al.'s "Connected
+    Components in MapReduce" with the same slim per-round shuffle shape).
+    Near-dup graphs converge in 2-3 rounds either way (components are
+    near-cliques); the jump is what bounds ADVERSARIAL long chains — a
+    50-node path converges in ~6 rounds instead of 50 (pinned by test).
+
+    Scale shape: every round shuffles only (doc_id, comp) pairs — label
+    values are node ids, so the jump join hits the labels table itself, no
+    auxiliary structure; lineage is cut per round with an eager
+    localCheckpoint (plan trees explode by round 3 otherwise) and the dead
+    generation is unpersisted."""
+    sym = (
+        edges.select(src, dst)
+        .unionByName(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        sym.select(F.col(src).alias("doc_id"))
+        .distinct()
+        .withColumn("comp", F.col("doc_id"))
+        .localCheckpoint(eager=True)
+    )
+    iters = 0
+    while True:
+        iters += 1
+        incoming = sym.join(
+            labels.withColumnRenamed("doc_id", src), on=src
+        ).select(F.col(dst).alias("doc_id"), "comp")
+        prop = (
+            labels.unionByName(incoming)
+            .groupBy("doc_id")
+            .agg(F.min("comp").alias("comp"))
+        )
+        # pointer jump: label values are node ids, so look the label's own
+        # label up in the same table and take the min — chains halve
+        hop = (
+            prop.join(
+                prop.select(
+                    F.col("doc_id").alias("comp"), F.col("comp").alias("_c2")
+                ),
+                on="comp",
+                how="left",
+            )
+            .select(
+                "doc_id",
+                F.least(F.col("comp"), F.coalesce(F.col("_c2"), F.col("comp"))).alias(
+                    "comp"
+                ),
+            )
+        )
+        new_labels = hop.localCheckpoint(eager=True)
+        changed = (
+            new_labels.join(labels.withColumnRenamed("comp", "_old"), on="doc_id")
+            .filter(F.col("comp") != F.col("_old"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()  # dead once the loop converges (labels are frozen)
+    return labels, iters
+
+
 def _dot(a: Column, b: Column) -> Column:
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),

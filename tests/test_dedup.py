@@ -213,6 +213,62 @@ def test_dedup_components_match_union_find(spark):
         assert size == len(expect[comp])
 
 
+def test_scaled_geometry_recall_on_seeded_neardups(spark):
+    """Scaling the LSH geometry (more rows per band → more, smaller buckets)
+    must keep near-duplicate recall: on a seeded set of true near-dups
+    (tiny perturbations, cosine ≥ 0.999), the 4×2^9 geometry finds at least
+    what the default 4×2^6 geometry finds — shrinking buckets bounds
+    candidate-pair work, it must not lose the actual duplicates."""
+    rng = np.random.default_rng(23)
+    n, dim = 200, 64
+    base = rng.normal(size=(n, dim)).astype(np.float32)
+    rows = [(i, [float(x) for x in base[i]]) for i in range(n)]
+    # seeded near-dups: ids 1000+i are tiny perturbations of i
+    noise = rng.normal(scale=1e-4, size=(n, dim)).astype(np.float32)
+    rows += [(1000 + i, [float(x) for x in (base[i] + noise[i])]) for i in range(n)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    seeded = {(i, 1000 + i) for i in range(n)}
+
+    def recall(tables):
+        pairs = {
+            (r["id_a"], r["id_b"])
+            for r in D.embedding_near_dup(
+                df, "embedding", "vec_id", threshold=0.999, tables=tables
+            ).collect()
+        }
+        return len(pairs & seeded) / len(seeded)
+
+    r_fixed = recall(ann_planes(4, 6))
+    r_scaled = recall(ann_planes(4, 9))
+    assert r_scaled >= r_fixed
+    assert r_scaled >= 0.95  # near-exact dups survive 9-row buckets
+
+
+def test_connected_components_logn_on_long_chain(spark):
+    """Adversarial long chains must converge in O(log n) driver rounds, not
+    O(diameter): a 50-node path graph (diameter 49) through the pointer-
+    jumping loop finishes within ceil(log2 n) + 3 iterations, with every
+    node labeled by the global minimum."""
+    import math
+
+    n = 50
+    path = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "doc_a long, doc_b long"
+    )
+    labels, iters = D.connected_components(path)
+    got = {r["doc_id"]: r["comp"] for r in labels.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert iters <= math.ceil(math.log2(n)) + 3, iters
+    # several disjoint chains in one pass: each labeled by its own minimum
+    two = spark.createDataFrame(
+        [(i, i + 1) for i in range(9)] + [(100 + i, 101 + i) for i in range(9)],
+        "doc_a long, doc_b long",
+    )
+    labels2, _ = D.connected_components(two)
+    got2 = {r["doc_id"]: r["comp"] for r in labels2.collect()}
+    assert got2 == {**{i: 0 for i in range(10)}, **{100 + i: 100 for i in range(10)}}
+
+
 def test_ngram_jaccard_verifies_only_lsh_candidates(spark):
     """The verify stage must consume the LSH candidate feed — every verified
     pair is an LSH candidate pair (no all-pairs block join behind it)."""
