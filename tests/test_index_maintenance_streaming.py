@@ -1,0 +1,101 @@
+"""Streaming ANN index maintenance: incremental ingest through foreachBatch
+must leave the LSH/IVF tables equal to a from-scratch rebuild, stay
+idempotent under epoch replay, and survive two-invocation (availableNow)
+drains."""
+
+import json
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from od_database_spark.operators import ann_store as AS
+from od_database_spark.streaming import index_maintenance as IM
+
+
+@pytest.fixture()
+def env(spark):
+    d = tempfile.mkdtemp(prefix="oddb_sindex_")
+    tables = ("stream_lsh_test", "stream_ivf_cents_test", "stream_ivf_cells_test")
+    for t in tables:
+        AS._drop_stale(spark, t)
+    yield d, tables
+    for t in tables:
+        AS._drop_stale(spark, t)
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def _vec(i):
+    # deterministic small vectors, ANN_DIM components
+    from od_database_spark.queries import ANN_DIM
+
+    return [((i * 31 + j * 7) % 19 - 9) / 10.0 for j in range(ANN_DIM)]
+
+
+def _write_batch(in_dir, name, ids):
+    os.makedirs(in_dir, exist_ok=True)
+    with open(os.path.join(in_dir, name), "w") as f:
+        for i in ids:
+            f.write(json.dumps({"vec_id": i, "embedding": _vec(i)}) + "\n")
+
+
+def _table_set(spark, name, cols):
+    return sorted(map(tuple, spark.table(name).select(*cols).collect()))
+
+
+def test_streamed_index_equals_full_rebuild(spark, env):
+    d, (lsh, cents, cells) = env
+    in_dir, ckpt = f"{d}/in", f"{d}/ckpt"
+    _write_batch(in_dir, "b1.json", range(0, 40))
+    IM.run_stream_index(spark, in_dir, lsh, ckpt, ivf_tables=(cents, cells))
+    _write_batch(in_dir, "b2.json", range(30, 70))  # 10 repeats + 30 new
+    IM.run_stream_index(spark, in_dir, lsh, ckpt, ivf_tables=(cents, cells))
+
+    all_ids = list(range(70))
+    full = spark.createDataFrame(
+        [(i, _vec(i)) for i in all_ids], "vec_id long, embedding array<float>"
+    )
+    # LSH: streamed table == full rebuild (set equality on the keyed rows)
+    AS.build_lsh_table(full, "stream_lsh_ref")
+    try:
+        assert _table_set(spark, lsh, ["vec_id", "bucket"]) == _table_set(
+            spark, "stream_lsh_ref", ["vec_id", "bucket"]
+        )
+    finally:
+        AS._drop_stale(spark, "stream_lsh_ref")
+
+    # IVF: every vector present exactly once, assigned to the FROZEN
+    # first-batch centroids (the standard append contract — a full rebuild
+    # would retrain the quantizer on all 70, a different index by design)
+    got = {r["vec_id"]: r["cell"] for r in spark.table(cells).collect()}
+    assert sorted(got) == all_ids
+    want = {
+        r["vec_id"]: r["cell"]
+        for r in AS._assign_cells(full, spark.table(cents)).collect()
+    }
+    assert got == want
+
+
+def test_index_sink_replay_is_idempotent(spark, env):
+    d, (lsh, cents, cells) = env
+    sink = IM.index_sink(lsh, ivf_tables=(cents, cells))
+    b1 = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    sink(b1, 0)
+    from od_database_spark.queries import ANN_BANDS
+
+    assert spark.table(lsh).count() == 30 * ANN_BANDS
+    sink(b1, 0)  # replay of the BUILD epoch
+    assert spark.table(lsh).count() == 30 * ANN_BANDS
+    assert spark.table(cells).count() == 30
+    b2 = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(20, 50)], "vec_id long, embedding array<float>"
+    )
+    sink(b2, 1)
+    sink(b2, 1)  # replay of an APPEND epoch
+    assert spark.table(lsh).count() == 50 * ANN_BANDS
+    assert spark.table(cells).count() == 50
+    assert spark.table(lsh).select("vec_id").distinct().count() == 50
