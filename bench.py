@@ -75,17 +75,57 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     return times
 
 
-# Corpus-proportional queries for the 10x anchor: every one scans the full
-# documents/embeddings tables (the bounded-id queries like simhash measure a
-# constant slice and are excluded on purpose)
+# Corpus-proportional queries for the 10x anchor (the bounded-id queries
+# like simhash/quality_flags/ascii_fold measure a constant slice and are
+# excluded on purpose): the similarity family scans the perturbed
+# documents/embeddings replicas; the rest scan the key-shifted replicas of
+# the star-schema tables — so round-over-round deltas measure EXECUTOR work
+# across the whole registry, not just the vector path.
 SF10X_QUERIES = [
+    # similarity / dedup family (documents + embeddings)
     "minhash_lsh", "ngram_jaccard", "text_dedup_keep", "dedup_components",
     "lang_id", "token_count", "rolling_fingerprint",
     "embedding_topk", "embedding_lsh_ann", "embedding_neardup",
     "embedding_batch_ann", "embedding_dedup_keep",
     "embedding_bucket_search", "embedding_ivf_search",
+    # search/agg/join family (events, orders, customer, part, lineitem)
+    "ext_breakdown", "text_quality", "dedup_exact", "multi_match", "blocklist",
+    "global_totals", "extended_stats", "size_histogram",
+    "date_histogram", "website_scatter", "listing_page", "recrawl_pool",
+    "random_row", "join_deleted_default", "filtered_search",
+    "prefix_semi_join", "trigram_rank", "highlight",
 ]
 SF10X_REPLICAS = 10
+
+# fact/dim tables replicated by KEY SHIFT (replica k adds k*max to each key
+# so joins keep 1:1 semantics — duplicated keys would multiply join matches
+# 10x and make 10x data cost 100x join work, which is not what real growth
+# costs).  FKs shift by the REFERENCED table's base so each replica joins
+# its own dim replica.
+SF10X_PLAIN_TABLES = {
+    "events": {"event_id": "events"},
+    "orders": {"o_orderkey": "orders", "o_custkey": "customer"},
+    "customer": {"c_custkey": "customer"},
+    "part": {"p_partkey": "part"},
+    "lineitem": {"l_orderkey": "orders", "l_partkey": "part"},
+}
+SF10X_KEY_OF = {
+    "events": "event_id", "orders": "o_orderkey",
+    "customer": "c_custkey", "part": "p_partkey",
+}
+
+
+def _sf10x_key(spark, src_dir: str) -> str:
+    """Content-signature cache key: regenerating the source IN PLACE changes
+    the key, so a stale cached 10x corpus is abandoned instead of silently
+    served (the same staleness class ann_store._source_sig guards)."""
+    import hashlib
+
+    from od_database_spark.operators.ann_store import _source_sig
+
+    tables = ["documents", "embeddings", *sorted(SF10X_PLAIN_TABLES)]
+    sigs = "|".join(_source_sig(spark, src_dir, t, params="sf10x") for t in tables)
+    return hashlib.md5(f"{sigs}:{SF10X_REPLICAS}".encode()).hexdigest()[:10]
 
 
 def ensure_sf10x(spark, src_dir: str) -> str:
@@ -94,12 +134,12 @@ def ensure_sf10x(spark, src_dir: str) -> str:
     embedding components) so replicas are not near-duplicates of each other
     — naive row duplication would put every clone in the same LSH buckets
     and blow candidate pairs up quadratically, which is not what 10x real
-    data costs.  Replica 0 is the original data.  Cached under /tmp."""
-    import hashlib
-
+    data costs.  Star-schema tables replicate by key shift (see
+    SF10X_PLAIN_TABLES).  Replica 0 is the original data.  Cached under
+    /tmp, keyed by source CONTENT signature."""
     from pyspark.sql import functions as F
 
-    key = hashlib.md5(f"{src_dir}:{SF10X_REPLICAS}".encode()).hexdigest()[:10]
+    key = _sf10x_key(spark, src_dir)
     out = os.path.join("/tmp", f"oddb_bench_sf10x_{key}")
     marker = os.path.join(out, "_BUILT")
     if os.path.isfile(marker):
@@ -141,6 +181,31 @@ def ensure_sf10x(spark, src_dir: str) -> str:
         e10 = e10.unionByName(p)
     d10.write.mode("overwrite").parquet(f"{out}/documents.parquet")
     e10.write.mode("overwrite").parquet(f"{out}/embeddings.parquet")
+
+    bases = {
+        tbl: spark.read.parquet(f"{src_dir}/{tbl}.parquet")
+        .agg(F.max(col)).collect()[0][0] + 1
+        for tbl, col in SF10X_KEY_OF.items()
+    }
+    for tbl, shifts in SF10X_PLAIN_TABLES.items():
+        df = spark.read.parquet(f"{src_dir}/{tbl}.parquet")
+        parts = [df]
+        for k in range(1, SF10X_REPLICAS):
+            parts.append(
+                df.select(
+                    *[
+                        (F.col(c) + k * bases[shifts[c]]).alias(c)
+                        if c in shifts
+                        else F.col(c)
+                        for c in df.columns
+                    ]
+                )
+            )
+        t10 = parts[0]
+        for p in parts[1:]:
+            t10 = t10.unionByName(p)
+        t10.write.mode("overwrite").parquet(f"{out}/{tbl}.parquet")
+
     with open(marker, "w") as f:
         f.write("ok")
     log(f"sf10x corpus built in {time.time() - t0:.1f}s at {out}")
@@ -164,10 +229,14 @@ def run_sf10x(spark, src_dir: str) -> dict:
     index_build_s = round(time.time() - t0, 2)
     log(f"sf10x ann index build: {index_build_s}s")
     times: dict[str, float] = {}
+    all_trials: dict[str, list] = {}
     for name in SF10X_QUERIES:
         fn, _sql = REGISTRY[name]
         trials = []
-        for _ in range(2):  # best-of-2: CPU-steal noise vs bounded runtime
+        # best-of-3: best-of-2 still admitted steal outliers (r3's final-run
+        # token_count 12.99s vs 1.41s best — measured); trials are recorded
+        # so the steal spread stays visible in the artifact
+        for _ in range(3):
             t1 = time.time()
             # noop sink, not count(): count() lets Catalyst PRUNE unreferenced
             # aggregates and eliminate distinct-key left joins, timing a
@@ -176,14 +245,97 @@ def run_sf10x(spark, src_dir: str) -> dict:
             fn(spark, sf10x_dir).write.mode("overwrite").format("noop").save()
             trials.append(time.time() - t1)
         times[name] = round(min(trials), 3)
-        log(f"sf10x {name}: {times[name]:.2f}s")
-    return {
+        all_trials[name] = [round(t, 2) for t in trials]
+        log(f"sf10x {name}: {times[name]:.2f}s {all_trials[name]}")
+    result = {
         "replicas": SF10X_REPLICAS,
         "src": src_dir,
         "index_build_sec": index_build_s,
         "queries": times,
+        "trials": all_trials,
         "total_sec": round(sum(times.values()), 2),
     }
+    result["scaled_geometry"] = run_scaled_geometry(spark, sf10x_dir)
+    return result
+
+
+SCALED_ROWS = 9  # 4×2^9 = 2048 buckets vs the default 4×2^6 = 256
+
+
+def run_scaled_geometry(spark, sf10x_dir: str) -> dict:
+    """The scaled-geometry ANN anchor (the last open 100-TB question from
+    round 3): the default 4×2^6 LSH geometry is FROZEN for oracle parity, so
+    at 10x rows the in-bucket candidate-pair count grows ~quadratically and
+    embedding_neardup/dedup_keep wall time with it.  The fix has always been
+    parameterization (queries.ann_planes → more rows per band → bands × 2^rows
+    buckets); this run is the EVIDENCE: same corpus, same queries, geometry
+    sized to the corpus — candidate pairs and wall time both drop."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import ann_store
+    from od_database_spark.operators.dedup import embedding_near_dup
+    from od_database_spark.queries import ANN_BANDS, ANN_ROWS, t as load
+
+    e = load(spark, sf10x_dir, "embeddings")
+    out = {}
+    for label, rows in (("fixed", None), ("scaled", SCALED_ROWS)):
+        t0 = time.time()
+        if rows is None:
+            name = ann_store.ensure_lsh_index(spark, sf10x_dir)
+        else:
+            name = ann_store.ensure_lsh_index(spark, sf10x_dir, bands=ANN_BANDS, rows=rows)
+        build_s = round(time.time() - t0, 2)
+        keyed = spark.table(name)
+        a, b = keyed.alias("a"), keyed.alias("b")
+        pairs = (
+            a.join(b, on="bucket")
+            .filter(F.col("a.vec_id") < F.col("b.vec_id"))
+            .select("a.vec_id", "b.vec_id")
+            .distinct()
+            .count()
+        )
+        neardup = lambda: embedding_near_dup(
+            e, "embedding", "vec_id", threshold=0.25, keyed=keyed
+        )
+        trials = []
+        for _ in range(3):
+            t1 = time.time()
+            neardup().write.mode("overwrite").format("noop").save()
+            trials.append(time.time() - t1)
+        keep_trials = []
+        for _ in range(3):
+            t1 = time.time()
+            # the keep-list step over the same candidate feed
+            # (q_embedding_dedup_keep's shape, keyed by this geometry)
+            drops = neardup().select(F.col("id_b").alias("vec_id")).distinct()
+            flagged = e.join(
+                drops.withColumn("_drop", F.lit(True)), on="vec_id", how="left"
+            )
+            (
+                flagged.groupBy("label")
+                .agg(
+                    F.sum(F.when(F.col("_drop"), 0).otherwise(1)).alias("kept"),
+                    F.sum(F.when(F.col("_drop"), 1).otherwise(0)).alias("dropped"),
+                )
+                .write.mode("overwrite").format("noop").save()
+            )
+            keep_trials.append(time.time() - t1)
+        out[label] = {
+            "bands": ANN_BANDS,
+            "rows": rows if rows is not None else "default",
+            "bucket_keyspace": ANN_BANDS * (2 ** (rows if rows is not None else ANN_ROWS)),
+            "index_build_sec": build_s,
+            "candidate_pairs": pairs,
+            "neardup_sec": round(min(trials), 3),
+            "neardup_trials_sec": [round(x, 2) for x in trials],
+            "dedup_keep_sec": round(min(keep_trials), 3),
+            "dedup_keep_trials_sec": [round(x, 2) for x in keep_trials],
+        }
+        log(f"sf10x geometry {label}: pairs={pairs} neardup={out[label]['neardup_sec']}s "
+            f"keep={out[label]['dedup_keep_sec']}s")
+    f, s = out["fixed"], out["scaled"]
+    out["pair_reduction"] = round(f["candidate_pairs"] / max(s["candidate_pairs"], 1), 2)
+    return out
 
 
 def run_crawl(spark, n_hosts: int) -> dict:
@@ -231,7 +383,9 @@ def run_crawl(spark, n_hosts: int) -> dict:
     all_images = image_url_dfs[0]
     for df in image_url_dfs[1:]:
         all_images = all_images.unionByName(df)
-    all_images = all_images.localCheckpoint(eager=True)
+    # multi-parent images fetch exactly once (no-op in the synthetic world,
+    # where every image has one parent — asserted by the unchanged count)
+    all_images = fr.dedup_image_urls(all_images).localCheckpoint(eager=True)
 
     # trial 1 warms the Python workers; best-of-3 rides out CPU-steal noise
     fetch_trials, n_images = [], 0
