@@ -94,6 +94,8 @@ SF10X_QUERIES = [
     "date_histogram", "website_scatter", "listing_page", "recrawl_pool",
     "random_row", "join_deleted_default", "filtered_search",
     "prefix_semi_join", "trigram_rank", "highlight",
+    # scaled-geometry / trained-quantizer index views
+    "embedding_lsh_scaled", "ivf_cell_stats",
 ]
 SF10X_REPLICAS = 10
 
@@ -259,7 +261,9 @@ def run_sf10x(spark, src_dir: str) -> dict:
     return result
 
 
-SCALED_ROWS = 9  # 4×2^9 = 2048 buckets vs the default 4×2^6 = 256
+# 4×2^9 = 2048 buckets vs the default 4×2^6 = 256 (single-sourced with the
+# oracle-checked embedding_lsh_scaled query)
+from od_database_spark.queries import ANN_SCALED_ROWS as SCALED_ROWS  # noqa: E402
 
 
 def run_scaled_geometry(spark, sf10x_dir: str) -> dict:

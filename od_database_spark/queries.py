@@ -1205,11 +1205,12 @@ def _sql_dot(plane) -> str:
     )
 
 
-def _sql_band_buckets() -> str:
+def _sql_band_buckets(tables=None) -> str:
     """DuckDB literal: list of per-band 'band:bits' bucket keys over
-    ANN_TABLES — mirrors dedup.ann_band_buckets exactly."""
+    ``tables`` (default ANN_TABLES) — mirrors dedup.ann_band_buckets
+    exactly, for any banding geometry."""
     parts = []
-    for b, planes in enumerate(ANN_TABLES):
+    for b, planes in enumerate(ANN_TABLES if tables is None else tables):
         bits = " + ".join(
             f"(CASE WHEN {_sql_dot(p)} > 0 THEN {1 << r} ELSE 0 END)"
             for r, p in enumerate(planes)
@@ -1221,6 +1222,53 @@ def _sql_band_buckets() -> str:
 def _sql_embedding_lsh_ann() -> str:
     return f"""
 WITH e AS (SELECT vec_id, {_sql_band_buckets()} AS buckets FROM embeddings),
+k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e)
+SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY bucket ORDER BY bucket
+"""
+
+
+# Scaled banding geometry (the 10^10-row sizing of the same index): more
+# rows per band → bands × 2^rows buckets → bounded in-bucket candidate work.
+# Oracle-checked HERE so geometry scaling is inside the correctness gate,
+# not only a bench-side experiment.
+ANN_SCALED_ROWS = 9
+
+
+def _ensure_scaled_lsh(spark: SparkSession, sf_dir: str) -> str:
+    """Named wrapper (the _indexed failure memo keys on __name__) for the
+    geometry-keyed store table."""
+    from .operators import ann_store
+
+    return ann_store.ensure_lsh_index(
+        spark, sf_dir, bands=ANN_BANDS, rows=ANN_SCALED_ROWS
+    )
+
+
+def q_embedding_lsh_scaled(spark, sf_dir):
+    """Occupancy view of the SCALED-geometry LSH index (4×2^9 buckets vs the
+    default 4×2^6): same banding operator, corpus-sized parameters — the
+    knob that keeps in-bucket candidate pairs bounded as rows grow (the 10×
+    anchor measures 21.9M→5.3M candidate pairs, 4.1×).  Reads the
+    geometry-keyed persisted table; inline banding is the no-store
+    fallback."""
+    from .operators.dedup import ann_band_buckets
+
+    tables = ann_planes(ANN_BANDS, ANN_SCALED_ROWS)
+
+    def inline():
+        return t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.explode(ann_band_buckets(F.col("embedding"), tables)).alias("bucket"),
+        )
+
+    k = _indexed(spark, sf_dir, _ensure_scaled_lsh, inline)
+    return k.groupBy("bucket").agg(F.count("*").alias("cnt")).orderBy("bucket")
+
+
+def _sql_embedding_lsh_scaled() -> str:
+    buckets = _sql_band_buckets(ann_planes(ANN_BANDS, ANN_SCALED_ROWS))
+    return f"""
+WITH e AS (SELECT vec_id, {buckets} AS buckets FROM embeddings),
 k AS (SELECT vec_id, unnest(buckets) AS bucket FROM e)
 SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY bucket ORDER BY bucket
 """
@@ -1647,12 +1695,12 @@ def _sql_ivf_l2(emb_expr: str, cent_expr: str) -> str:
     )
 
 
-def _sql_embedding_ivf() -> str:
-    """IVF oracle: md5-sample seeds + IVF_LLOYD unrolled Lloyd iterations
-    (assignment → per-cell per-position avg rounded to 6dp → list rebuild),
-    then assignment to the trained centroids, nprobe ranking, candidate
-    cosine — each CTE mirrors one DataFrame step in ann_store.ivf_frames /
-    q_embedding_ivf_search."""
+def _sql_ivf_cells_ctes() -> list:
+    """Shared DuckDB CTE chain ending in ``cells(vec_id, embedding, cell)``:
+    md5-sample seeds + IVF_LLOYD unrolled Lloyd iterations (assignment →
+    per-cell per-position avg rounded to 6dp → list rebuild), then the
+    final assignment — each CTE mirrors one DataFrame step in
+    ann_store.ivf_frames."""
     ctes = [
         f"""c0 AS (
   SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
@@ -1696,6 +1744,13 @@ def _sql_embedding_ivf() -> str:
            row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
     FROM af) a JOIN embeddings e ON e.vec_id = a.vec_id WHERE a.rn = 1)"""
     )
+    return ctes
+
+
+def _sql_embedding_ivf() -> str:
+    """IVF oracle: the shared trained-quantizer CTE chain, then nprobe
+    ranking and candidate cosine — mirrors q_embedding_ivf_search."""
+    ctes = _sql_ivf_cells_ctes()
     ctes.append(
         f"""qcells AS (
   SELECT cent_id AS qc FROM (
@@ -1718,6 +1773,32 @@ def _sql_embedding_ivf() -> str:
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5\n"
+    )
+
+
+def q_ivf_cell_stats(spark, sf_dir):
+    """Occupancy of the TRAINED IVF quantizer's cells (cell = seed cent_id,
+    cnt = inverted-list size) — the index-health view an operator watches at
+    scale: a hot cell is a hot probe, and the Lloyd refinement exists to
+    flatten exactly this histogram (balance vs the raw sample asserted in
+    tests).  Reads the persisted cells table (partition-column-only scan —
+    the histogram comes from partition metadata-sized reads, embeddings
+    never load); inline ivf_frames is the no-store fallback."""
+    _cents, cells = _ivf_frames(spark, sf_dir)
+    return (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("cell")
+        .select(F.col("cell").cast("long").alias("cell"), "cnt")
+    )
+
+
+def _sql_ivf_cell_stats() -> str:
+    ctes = _sql_ivf_cells_ctes()
+    return (
+        "WITH " + ",\n".join(ctes)
+        + "\nSELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS cnt"
+        + "\nFROM cells GROUP BY cell ORDER BY cell\n"
     )
 
 
@@ -1754,6 +1835,8 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "dedup_components": (q_dedup_components, _sql_dedup_components()),
     "embedding_topk": (q_embedding_topk, SQL_EMBEDDING_TOPK),
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
+    "embedding_lsh_scaled": (q_embedding_lsh_scaled, _sql_embedding_lsh_scaled()),
+    "ivf_cell_stats": (q_ivf_cell_stats, _sql_ivf_cell_stats()),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
     "embedding_ivf_search": (q_embedding_ivf_search, _sql_embedding_ivf()),
     "simhash": (q_simhash, _sql_simhash()),
