@@ -125,4 +125,10 @@ def run_stream_dedup(
         .start()
     )
     q.awaitTermination()
+    # foreachBatch runs in a CLONED SparkSession whose inserts invalidate
+    # only the clone's relation cache — refresh in the caller's session so a
+    # pre-drain read doesn't pin a stale file listing (dedup inside the sink
+    # is unaffected: it reads through the clone).
+    if spark.catalog.tableExists(seen_table):
+        spark.catalog.refreshTable(seen_table)
     return q

@@ -50,6 +50,57 @@ def stream_embeddings(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
+def _recover_index_tables(
+    spark: SparkSession,
+    lsh_table: str,
+    ivf_tables: tuple[str, str] | None,
+    n_buckets: int,
+) -> bool:
+    """Cross-session resume: like the streaming seen table
+    (streaming/dedup.py), the index tables are DURABLE state whose files
+    survive a session while the in-memory catalog does not — a naive
+    first-batch build would then CREATE over the surviving location and die
+    with LOCATION_ALREADY_EXISTS (or worse, re-train the quantizer over one
+    batch).  When the catalog entry is missing but the location holds
+    files, re-register each table with its original layout (bucket spec for
+    the LSH table, partition recovery for the IVF inverted lists).
+    Returns True iff the index exists (pre-existing or recovered)."""
+    from ..operators.ann_store import _fs, _table_dir
+
+    def surviving(name: str) -> bool:
+        loc = _table_dir(spark, name)
+        fs, jpath = _fs(spark, loc)
+        return bool(fs.exists(jpath) and fs.listStatus(jpath))
+
+    if spark.catalog.tableExists(lsh_table):
+        return True
+    if not surviving(lsh_table):
+        return False
+    loc = _table_dir(spark, lsh_table)
+    spark.sql(
+        f"""CREATE TABLE {lsh_table} (vec_id BIGINT, bucket STRING)
+            USING parquet
+            CLUSTERED BY (bucket) SORTED BY (bucket) INTO {n_buckets} BUCKETS
+            LOCATION '{loc}'"""
+    )
+    if ivf_tables is not None:
+        cents_name, cells_name = ivf_tables
+        if not spark.catalog.tableExists(cents_name) and surviving(cents_name):
+            spark.sql(
+                f"CREATE TABLE {cents_name} (cent_id BIGINT, cent ARRAY<DOUBLE>) "
+                f"USING parquet LOCATION '{_table_dir(spark, cents_name)}'"
+            )
+        if not spark.catalog.tableExists(cells_name) and surviving(cells_name):
+            spark.sql(
+                f"""CREATE TABLE {cells_name}
+                    (vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT)
+                    USING parquet PARTITIONED BY (cell)
+                    LOCATION '{_table_dir(spark, cells_name)}'"""
+            )
+            spark.sql(f"MSCK REPAIR TABLE {cells_name}")
+    return True
+
+
 def index_sink(
     lsh_table: str,
     ivf_tables: tuple[str, str] | None = None,
@@ -62,7 +113,7 @@ def index_sink(
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["vec_id"])
-        if not spark.catalog.tableExists(lsh_table):
+        if not _recover_index_tables(spark, lsh_table, ivf_tables, n_buckets):
             batch = batch.localCheckpoint(eager=True)  # build reads it twice
             ann_store.build_lsh_table(batch, lsh_table, n_buckets)
             if ivf_tables is not None:
@@ -98,4 +149,11 @@ def run_stream_index(
         .start()
     )
     q.awaitTermination()
+    # foreachBatch runs in a CLONED SparkSession whose inserts invalidate
+    # only the clone's relation cache — a caller that read the table before
+    # this drain keeps a stale file listing and silently misses the appended
+    # rows.  Refresh in the caller's session so its next read re-lists.
+    for name in (lsh_table, *(ivf_tables or ())):
+        if spark.catalog.tableExists(name):
+            spark.catalog.refreshTable(name)
     return q

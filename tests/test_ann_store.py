@@ -442,6 +442,16 @@ def test_scaled_geometry_store_is_separate_and_larger(spark, sf_dir, tmp_path):
         AS._VALIDATED.pop(n, None)
 
 
+def test_ivf_cell_stats_reads_no_data_columns(spark, sf_dir):
+    """The cell-occupancy view must come from partition METADATA: the cells
+    scan reads zero data columns (ReadSchema: struct<>) — at 10^10 vectors
+    the histogram costs a file listing, not an embedding-array read."""
+    fn, _ = REGISTRY["ivf_cell_stats"]
+    plan = PL.plan_string(fn(spark, sf_dir))
+    assert "ivf_cells_" in plan
+    assert "ReadSchema: struct<>" in plan, plan
+
+
 def test_trained_centroids_balance_cells(spark, sf_dir):
     """The fixed-iteration Lloyd refinement must not worsen cell balance vs
     the raw md5 sample (at 10^10 vectors an unbalanced cell is a hot probe),

@@ -50,8 +50,15 @@ def test_streamed_index_equals_full_rebuild(spark, env):
     in_dir, ckpt = f"{d}/in", f"{d}/ckpt"
     _write_batch(in_dir, "b1.json", range(0, 40))
     IM.run_stream_index(spark, in_dir, lsh, ckpt, ivf_tables=(cents, cells))
+    # read BETWEEN drains on purpose: foreachBatch appends happen in a
+    # cloned session, and a pre-append read in THIS session would pin a
+    # stale file listing without the runner's refreshTable (regression)
+    from od_database_spark.queries import ANN_BANDS as _B
+
+    assert spark.table(lsh).count() == 40 * _B
     _write_batch(in_dir, "b2.json", range(30, 70))  # 10 repeats + 30 new
     IM.run_stream_index(spark, in_dir, lsh, ckpt, ivf_tables=(cents, cells))
+    assert spark.table(lsh).count() == 70 * _B  # the appended rows are visible
 
     all_ids = list(range(70))
     full = spark.createDataFrame(
@@ -76,6 +83,47 @@ def test_streamed_index_equals_full_rebuild(spark, env):
         for r in AS._assign_cells(full, spark.table(cents)).collect()
     }
     assert got == want
+
+
+def test_cross_session_resume_recovers_index_tables(spark, env):
+    """The index tables are durable state: after a session restart (catalog
+    lost, warehouse files surviving) the sink must re-register them — not
+    crash with LOCATION_ALREADY_EXISTS and not re-train the quantizer over
+    one batch — so later batches keep appending to the same index."""
+    import shutil as sh
+    from urllib.parse import urlparse
+
+    d, (lsh, cents, cells) = env
+    in_dir, ckpt = f"{d}/in", f"{d}/ckpt"
+    _write_batch(in_dir, "b1.json", range(0, 40))
+    IM.run_stream_index(spark, in_dir, lsh, ckpt, ivf_tables=(cents, cells))
+    cents_before = {
+        r["cent_id"]: list(r["cent"]) for r in spark.table(cents).collect()
+    }
+
+    def loc(table):
+        return urlparse(
+            spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table
+        ).path
+
+    # simulate session death: files survive, catalog entries do not
+    for table in (lsh, cents, cells):
+        sh.copytree(loc(table), f"{d}/stash_{table}")
+        spark.sql(f"DROP TABLE {table}")
+        sh.copytree(f"{d}/stash_{table}", loc(table))
+        assert not spark.catalog.tableExists(table)
+
+    _write_batch(in_dir, "b2.json", range(30, 60))  # 10 repeats + 20 new
+    IM.run_stream_index(spark, in_dir, lsh, ckpt, ivf_tables=(cents, cells))
+    from od_database_spark.queries import ANN_BANDS
+
+    assert spark.table(lsh).count() == 60 * ANN_BANDS  # repeats suppressed
+    assert spark.table(cells).count() == 60
+    # the quantizer was NOT retrained: same centroids as before the restart
+    cents_after = {
+        r["cent_id"]: list(r["cent"]) for r in spark.table(cents).collect()
+    }
+    assert cents_after == cents_before
 
 
 def test_index_sink_replay_is_idempotent(spark, env):
