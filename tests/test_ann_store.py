@@ -442,6 +442,19 @@ def test_scaled_geometry_store_is_separate_and_larger(spark, sf_dir, tmp_path):
         AS._VALIDATED.pop(n, None)
 
 
+def test_scaled_occupancy_agg_is_bucket_local(spark, sf_dir):
+    """The scaled-geometry occupancy histogram must exploit the store's
+    bucketed layout: both aggregate phases run on the co-located scan with
+    NO hash exchange (only the final ordering exchanges), reading only the
+    bucket column."""
+    fn, _ = REGISTRY["embedding_lsh_scaled"]
+    plan = PL.plan_string(fn(spark, sf_dir), "simple")
+    assert "Bucketed: true" in plan, plan
+    assert "ReadSchema: struct<bucket:string>" in plan, plan
+    ex = re.findall(r"Exchange hashpartitioning\([^\n]*", plan)
+    assert not ex, ex  # the groupBy never reshuffles the index rows
+
+
 def test_ivf_cell_stats_reads_no_data_columns(spark, sf_dir):
     """The cell-occupancy view must come from partition METADATA: the cells
     scan reads zero data columns (ReadSchema: struct<>) — at 10^10 vectors
