@@ -59,6 +59,9 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ann_store.ensure_text_lsh_index(spark, sf_dir)
     ann_store.ensure_shingle_index(spark, sf_dir)
     ann_store.ensure_simhash_index(spark, sf_dir)
+    from od_database_spark.queries import _ensure_scaled_lsh
+
+    _ensure_scaled_lsh(spark, sf_dir)
     log(f"ann index builds (untimed ingest): {time.time() - t0:.2f}s")
 
     times: dict[str, float] = {}
@@ -228,6 +231,9 @@ def run_sf10x(spark, src_dir: str) -> dict:
     ann_store.ensure_ivf_index(spark, sf10x_dir)
     ann_store.ensure_text_lsh_index(spark, sf10x_dir)
     ann_store.ensure_shingle_index(spark, sf10x_dir)
+    from od_database_spark.queries import _ensure_scaled_lsh
+
+    _ensure_scaled_lsh(spark, sf10x_dir)
     index_build_s = round(time.time() - t0, 2)
     log(f"sf10x ann index build: {index_build_s}s")
     times: dict[str, float] = {}

@@ -576,28 +576,31 @@ def dedup_image_urls(image_urls: DataFrame) -> DataFrame:
     image_id — so without this, a multi-parent image is fetched and appended
     once per link.  Keeper = earliest discovery (min (parent_seq, link_idx)),
     via the same map-side-combining min(struct) arg-min as the directory
-    dedup in expand_round; image_id is the full 64-bit url hash, so same
-    image_id ⇒ same url and the keeper row differs only in provenance."""
+    dedup in expand_round.  The group key is the URL itself, not image_id:
+    image_id is a 64-bit url hash, and at 10^10 images birthday collisions
+    are EXPECTED (n²/2^65 ≈ a few) — keying on the hash would silently merge
+    two distinct URLs into one fetch.  Same url ⇒ same image_id, so each
+    group still carries exactly one id."""
     return (
-        image_urls.groupBy("image_id")
+        image_urls.groupBy("url")
         .agg(
             F.min(
                 F.struct(
                     F.col("parent_seq"),
                     F.col("link_idx"),
-                    F.col("url"),
                     F.col("website_id"),
                     F.col("host"),
+                    F.col("image_id"),
                 )
             ).alias("_w")
         )
         .select(
-            F.col("_w.url").alias("url"),
+            "url",
             F.col("_w.website_id").alias("website_id"),
             F.col("_w.host").alias("host"),
             F.col("_w.parent_seq").alias("parent_seq"),
             F.col("_w.link_idx").alias("link_idx"),
-            "image_id",
+            F.col("_w.image_id").alias("image_id"),
         )
     )
 
