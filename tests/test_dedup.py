@@ -213,6 +213,50 @@ def test_dedup_components_match_union_find(spark):
         assert size == len(expect[comp])
 
 
+def test_image_phash_near_pairs_matches_python_oracle(spark):
+    """64-bit perceptual-hash near-dup pairs: exact agreement with a brute
+    force python oracle, including negative (sign-bit-set) hashes and the
+    pigeonhole recall guarantee for hamming ≤ bands-1."""
+    rng = np.random.default_rng(7)
+    base = [int(rng.integers(-(2**63), 2**63 - 1)) for _ in range(40)]
+    rows = [(f"img_{i:04d}", h) for i, h in enumerate(base)]
+    # seeded near-dups: flip ≤3 bits (within the pigeonhole bound for 4 bands)
+    for i in range(0, 40, 5):
+        h = base[i]
+        for b in rng.choice(64, size=3, replace=False):
+            h ^= 1 << int(b)
+        if h >= 2**63:
+            h -= 2**64
+        rows.append((f"img_9{i:03d}", h))
+    df = spark.createDataFrame(rows, "image_id string, phash long")
+    got = {
+        (r["id_a"], r["id_b"], r["hamming"])
+        for r in D.image_phash_near_pairs(df, max_hamming=6).collect()
+    }
+
+    def ham(a, b):
+        return bin((a ^ b) & (2**64 - 1)).count("1")
+
+    def blocks(h):
+        return {(b, (h >> (16 * b)) & 0xFFFF) for b in range(4)}
+
+    want = set()
+    for i, (ida, ha) in enumerate(rows):
+        for idb, hb in rows[i + 1:]:
+            a, b = sorted((ida, idb))
+            hav = ham(ha, hb)
+            # candidate iff some 16-bit sub-block matches (the banding rule)
+            if hav <= 6 and blocks(ha) & blocks(hb):
+                want.add((a, b, hav))
+    assert got == want
+    # every seeded ≤3-bit flip is guaranteed found (pigeonhole: 4 bands)
+    seeded = {i for i in range(0, 40, 5)}
+    found_seeded = {
+        int(a.split("_")[1]) for a, b, _ in got if b.startswith("img_9")
+    }
+    assert seeded <= found_seeded
+
+
 def test_scaled_geometry_recall_on_seeded_neardups(spark):
     """Scaling the LSH geometry (more rows per band → more, smaller buckets)
     must keep near-duplicate recall: on a seeded set of true near-dups
