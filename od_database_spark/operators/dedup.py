@@ -137,12 +137,49 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
+def _drop_hot_groups(keyed: DataFrame, group_cols: list, cap: int, what: str) -> DataFrame:
+    """Skew guard for candidate self-joins: groups larger than ``cap`` rows
+    are EXCLUDED from candidate generation — a hot bucket (an adversarial
+    duplicate-heavy cluster, an all-zero embedding sliver) otherwise costs
+    O(n²) pairs no matter the banding geometry.  This is the standard
+    web-corpus dedup guard (the same reason MinHash pipelines drop
+    super-frequent shingles); recall inside dropped groups is traded away
+    EXPLICITLY: the hot keys are collected (bounded by corpus/cap) and the
+    drop is surfaced as a RuntimeWarning — never a silent truncation.  At
+    scale the pre-count is one slim map-side-combined agg over (keys)."""
+    import warnings
+
+    sizes = keyed.groupBy(*group_cols).agg(F.count("*").alias("_n"))
+    hot = sizes.filter(F.col("_n") > cap).select(*group_cols).collect()
+    if not hot:
+        return keyed
+    warnings.warn(
+        f"{what}: excluding {len(hot)} hot group(s) larger than {cap} rows "
+        "from candidate generation (explicit recall trade — handle those "
+        "clusters with exact dedup instead)",
+        RuntimeWarning,
+        stacklevel=3,
+    )
+    if len(group_cols) == 1:
+        keys = [r[0] for r in hot]
+        return keyed.filter(~F.col(group_cols[0]).isin(keys))
+    cond = None
+    for r in hot:
+        eq = None
+        for c in group_cols:
+            e = F.col(c) == F.lit(r[c])
+            eq = e if eq is None else (eq & e)
+        cond = eq if cond is None else (cond | eq)
+    return keyed.filter(~cond)
+
+
 def near_pairs_from_fingerprints(
     sh: DataFrame,
     id_col: str,
     max_hamming: int = 6,
     bands: int = 4,
     bits: int = SIMHASH_BITS,
+    max_block_size: int | None = None,
 ) -> DataFrame:
     """Hamming near-dup pairs from a (id, simhash) fingerprint table via
     MULTI-PROBE sub-block banding: the ``bits`` bits split into ``bands``
@@ -170,6 +207,10 @@ def near_pairs_from_fingerprints(
             )
         ).alias("_bb"),
     ).select(id_col, "simhash", F.col("_bb.band").alias("band"), F.col("_bb.block").alias("block"))
+    if max_block_size is not None:
+        keyed = _drop_hot_groups(
+            keyed, ["band", "block"], max_block_size, "near_pairs_from_fingerprints"
+        )
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
         a.join(b, on=["band", "block"])
@@ -329,6 +370,7 @@ def embedding_near_dup(
     threshold: float = 0.95,
     tables: list | None = None,
     keyed: DataFrame | None = None,
+    max_bucket_size: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs through banded LSH: candidate
     pairs only form inside a (band, bucket) cell (recall traded for the
@@ -342,11 +384,21 @@ def embedding_near_dup(
     ``keyed`` optionally supplies the (id, bucket) rows from a PERSISTED
     index (operators/ann_store.py) — bit-identical to the inline compute,
     and the self-join then reads the bucketed table co-located on both
-    sides instead of hashing every vector twice per invocation."""
+    sides instead of hashing every vector twice per invocation.
+
+    ``max_bucket_size`` is the hot-bucket skew guard (_drop_hot_groups):
+    buckets above the cap are excluded from candidate generation with a
+    RuntimeWarning — scaled geometry bounds the EXPECTED bucket size, the
+    cap bounds the ADVERSARIAL one (a million byte-identical vectors land
+    in one bucket at any geometry)."""
     if keyed is None:
         keyed = df.select(
             F.col(id_col),
             F.explode(ann_band_buckets(F.col(emb_col), tables)).alias("bucket"),
+        )
+    if max_bucket_size is not None:
+        keyed = _drop_hot_groups(
+            keyed, ["bucket"], max_bucket_size, "embedding_near_dup"
         )
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (

@@ -386,6 +386,64 @@ def test_append_then_ensure_survives_revalidation(spark, sf_dir, tmp_path):
         AS._VALIDATED.pop(n, None)
 
 
+def test_session_restart_recovers_index_without_rebuild(spark, sf_dir, tmp_path):
+    """Catalog loss over surviving committed files must RE-REGISTER the
+    index (schema + bucket/partition layout), not rebuild it: build-once /
+    query-many has to hold across sessions.  Incl. the partitioned IVF
+    cells (partition recovery) and validation-after-recovery (a stale
+    survivor still rebuilds)."""
+    import shutil as sh
+    from urllib.parse import urlparse
+
+    src = _copy_source(sf_dir, tmp_path)
+    lsh = AS.ensure_lsh_index(spark, src)
+    cents, cells = AS.ensure_ivf_index(spark, src)
+    before = {
+        lsh: sorted(map(tuple, spark.table(lsh).collect())),
+        cells: sorted(map(tuple, spark.table(cells).select("vec_id", "cell").collect())),
+    }
+
+    stash_n = [0]
+
+    def restart_loss(table):
+        loc = urlparse(AS._table_dir(spark, table)).path
+        stash_n[0] += 1
+        stash = str(tmp_path / f"stash_{table}_{stash_n[0]}")
+        sh.copytree(loc, stash)
+        spark.sql(f"DROP TABLE {table}")  # managed DROP deletes files...
+        sh.rmtree(loc, ignore_errors=True)  # ...external DROP leaves them
+        sh.copytree(stash, loc)
+        assert not spark.catalog.tableExists(table)
+
+    for t_ in (lsh, cents, cells):
+        restart_loss(t_)
+    AS._VALIDATED.clear()
+
+    # mark build entry points so a rebuild is detectable
+    import unittest.mock as mock
+
+    with mock.patch.object(AS, "build_lsh_table", side_effect=AssertionError("rebuilt")), \
+         mock.patch.object(AS, "build_ivf_tables", side_effect=AssertionError("rebuilt")):
+        assert AS.ensure_lsh_index(spark, src) == lsh
+        assert AS.ensure_ivf_index(spark, src) == (cents, cells)
+    assert sorted(map(tuple, spark.table(lsh).collect())) == before[lsh]
+    assert (
+        sorted(map(tuple, spark.table(cells).select("vec_id", "cell").collect()))
+        == before[cells]
+    )
+    # stale survivor: corrupt the sig → recovery registers it, validation
+    # rejects it, and the normal rebuild path runs
+    meta = AS._read_meta(spark, lsh)
+    restart_loss(lsh)
+    AS._VALIDATED.clear()
+    AS._write_meta(spark, lsh, "0" * 32, meta["rows"])
+    assert AS.ensure_lsh_index(spark, src) == lsh  # rebuilds (no mock now)
+    assert sorted(map(tuple, spark.table(lsh).collect())) == before[lsh]
+    for t_ in (lsh, cents, cells):
+        spark.sql(f"DROP TABLE IF EXISTS {t_}")
+        AS._VALIDATED.pop(t_, None)
+
+
 def test_torn_meta_never_validates_stale(spark, sf_dir, tmp_path):
     """A sidecar write interrupted mid-way (partial JSON) must read as
     'untrusted' and trigger a rebuild — it may invalidate a good table

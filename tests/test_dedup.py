@@ -213,6 +213,52 @@ def test_dedup_components_match_union_find(spark):
         assert size == len(expect[comp])
 
 
+def test_hot_bucket_cap_bounds_adversarial_quadratic(spark):
+    """Skew guard: a cluster of identical vectors makes one bucket quadratic
+    at ANY banding geometry; with max_bucket_size set, those buckets are
+    excluded (with a RuntimeWarning), normal near-dups elsewhere are still
+    found, and the pair count collapses from O(n²) to the benign remainder."""
+    import warnings
+
+    rng = np.random.default_rng(31)
+    dim = 64
+    clone = [float(x) for x in rng.normal(size=dim)]
+    rows = [(i, clone) for i in range(100)]  # adversarial identical cluster
+    a = [float(x) for x in rng.normal(size=dim)]
+    rows += [(1000, a), (1001, [x + 1e-4 for x in a])]  # a benign near-dup pair
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    uncapped = D.embedding_near_dup(df, "embedding", "vec_id", threshold=0.999)
+    n_uncapped = uncapped.count()
+    assert n_uncapped >= 100 * 99 / 2  # the quadratic blowup is real
+
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        capped = D.embedding_near_dup(
+            df, "embedding", "vec_id", threshold=0.999, max_bucket_size=50
+        )
+        pairs = {(r["id_a"], r["id_b"]) for r in capped.collect()}
+    assert any("hot" in str(x.message) for x in w)  # never a silent cap
+    assert (1000, 1001) in pairs  # benign near-dups still found
+    assert len(pairs) < n_uncapped / 100  # the quadratic term is gone
+
+    # same guard on the fingerprint path: one hot 16-bit block
+    fp_rows = [(f"d{i:03d}", 7) for i in range(60)]  # identical fingerprints
+    fp_rows += [("x0", 1 << 40), ("x1", (1 << 40) ^ 3)]
+    fdf = spark.createDataFrame(fp_rows, "doc_id string, simhash long")
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        got = {
+            (r["id_a"], r["id_b"])
+            for r in D.near_pairs_from_fingerprints(
+                fdf, "doc_id", max_hamming=6, max_block_size=30
+            ).collect()
+        }
+    assert any("hot" in str(x.message) for x in w)
+    assert ("x0", "x1") in got
+    assert not any(a.startswith("d") and b.startswith("d") for a, b in got)
+
+
 def test_image_phash_near_pairs_matches_python_oracle(spark):
     """64-bit perceptual-hash near-dup pairs: exact agreement with a brute
     force python oracle, including negative (sign-bit-set) hashes and the
