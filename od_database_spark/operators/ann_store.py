@@ -416,7 +416,7 @@ def _lloyd_refine(emb: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
     return cents
 
 
-def ivf_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
+def ivf_frames(emb: DataFrame, k: int = IVF_K) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) as DataFrames: deterministic K-seed selection
     (TakeOrdered on md5(vec_id) — a replayable uniform sample, total order)
     refined by IVF_LLOYD fixed Lloyd iterations (deterministic k-means —
@@ -424,21 +424,26 @@ def ivf_frames(emb: DataFrame) -> tuple[DataFrame, DataFrame]:
     order-insensitive after rounding; balances cell occupancy vs the raw
     sample, which at 10^10 vectors means no hot probe cells), plus the
     broadcast assignment.  Used by the table build AND as the queries-side
-    fallback when the store can't be written."""
+    fallback when the store can't be written.  ``k`` sizes the coarse
+    quantizer to the corpus (the standard rule is k ≈ √N so probe cost
+    O(k) and per-cell scan O(N·nprobe/k) balance); the default serves the
+    oracle-parity queries."""
     seeds = (
         emb.select(F.col("vec_id").alias("cent_id"), F.col("embedding").alias("cent"))
         .orderBy(F.md5(F.col("cent_id").cast("string")), F.asc("cent_id"))
-        .limit(IVF_K)
+        .limit(k)
     )
     cents = _lloyd_refine(emb, seeds, IVF_LLOYD)
     return cents, _assign_cells(emb, cents)
 
 
-def build_ivf_tables(emb: DataFrame, cents_name: str, cells_name: str) -> None:
+def build_ivf_tables(
+    emb: DataFrame, cents_name: str, cells_name: str, k: int = IVF_K
+) -> None:
     """IVF build pass (ivf_frames persisted): the inverted lists
     (vec_id, embedding) land PARTITIONED BY cell so the query side prunes
     to its probed cells."""
-    cents, cells = ivf_frames(emb)
+    cents, cells = ivf_frames(emb, k)
     cents.write.mode("overwrite").format("parquet").saveAsTable(cents_name)
     (
         cells.write.mode("overwrite")

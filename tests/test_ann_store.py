@@ -523,6 +523,23 @@ def test_ivf_cell_stats_reads_no_data_columns(spark, sf_dir):
     assert "ReadSchema: struct<>" in plan, plan
 
 
+def test_ivf_k_parameterizes_quantizer(spark, sf_dir):
+    """The coarse quantizer sizes to the corpus: k cells materialize (every
+    vector assigned exactly once), and probing ALL k cells degenerates to
+    the full corpus — the k ≈ √N scaling rule is a parameter choice, not a
+    rebuild of the operator."""
+    emb = t(spark, sf_dir, "embeddings")
+    n = emb.count()
+    for k in (4, 64):
+        cents, cells = AS.ivf_frames(emb, k=k)
+        n_cells = cents.count()
+        assert n_cells <= k
+        occ = cells.groupBy("cell").agg(F.count("*").alias("c"))
+        assert occ.count() == n_cells
+        assert cells.count() == n
+        assert cells.select("vec_id").distinct().count() == n
+
+
 def test_trained_centroids_balance_cells(spark, sf_dir):
     """The fixed-iteration Lloyd refinement must not worsen cell balance vs
     the raw md5 sample (at 10^10 vectors an unbalanced cell is a hot probe),
