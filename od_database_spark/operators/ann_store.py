@@ -54,10 +54,28 @@ from ..queries import ANN_BANDS, ANN_ROWS, IVF_K, IVF_LLOYD, t
 
 N_BUCKETS = 16  # catalog bucket count for the LSH table (files per append)
 
-# per-session memo: table name -> source signature it was validated against
-# (the signature is a filesystem stat pass — cheap enough to recompute per
-# ensure_* call, so even IN-SESSION source regeneration triggers a rebuild)
-_VALIDATED: dict[str, str] = {}
+# per-application memo: (applicationId, table name) -> source signature it
+# was validated against.  Keyed by the Spark APPLICATION, not just the name:
+# a process that stops its context and starts a new one gets a fresh
+# in-memory catalog, and a name-only memo would short-circuit ensure_* with
+# a table the new catalog has never seen (TABLE_OR_VIEW_NOT_FOUND at read
+# time, which the narrowed env-error catch would then mis-file as a broken
+# store).  The signature itself is a filesystem stat pass — cheap enough to
+# recompute per ensure_* call, so even IN-SESSION source regeneration
+# triggers a rebuild.
+_VALIDATED: dict[tuple[str, str], str] = {}
+
+
+def _memo_key(spark: SparkSession, name: str) -> tuple[str, str]:
+    return (spark.sparkContext.applicationId, name)
+
+
+def _forget(name: str) -> None:
+    """Drop every application's memo entry for ``name`` (test/teardown
+    helper — pairs with DROP TABLE so a later ensure_* revalidates instead
+    of trusting a memo for a table that no longer exists)."""
+    for k in [k for k in _VALIDATED if k[1] == name]:
+        _VALIDATED.pop(k, None)
 
 
 def _key(sf_dir: str) -> str:
@@ -320,13 +338,13 @@ def ensure_lsh_index(
         r = ANN_ROWS if rows is None else rows
         name, tables, n_bands = f"ann_buckets_{key}_b{b}r{r}", ann_planes(b, r), b
         sig = _source_sig(spark, sf_dir, "embeddings", params=f"geom:{b}:{r}")
-    if _VALIDATED.get(name) == sig:
+    if _VALIDATED.get(_memo_key(spark, name)) == sig:
         return name
     if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
         build_lsh_table(t(spark, sf_dir, "embeddings"), name, tables=tables)
         _write_meta(spark, name, sig, spark.table(name).count())
-    _VALIDATED[name] = sig
+    _VALIDATED[_memo_key(spark, name)] = sig
     return name
 
 
@@ -397,13 +415,18 @@ def _lloyd_refine(emb: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
     order).  A cell that loses all members is dropped (standard k-means);
     surviving cells keep their seed's cent_id, so ids stay stable and
     replayable.  Each iteration's centroids are eagerly checkpointed — the
-    next assignment broadcasts a K-row table, not a growing plan tree."""
-    for _ in range(iters):
+    next assignment broadcasts a K-row table, not a growing plan tree — and
+    the DEAD previous generation is unpersisted once its successor is
+    materialized (checkpoint blocks otherwise accumulate per invocation for
+    the session's lifetime; only the returned final generation stays
+    pinned, since callers' plans read its blocks)."""
+    for i in range(iters):
         assigned = _assign_cells(emb, cents)
         ex = assigned.select("cell", F.posexplode("embedding").alias("pos", "v"))
         means = ex.groupBy("cell", "pos").agg(
             F.avg(F.col("v").cast("double")).alias("m")
         )
+        prev = cents
         cents = (
             means.groupBy("cell")
             .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("_s"))
@@ -413,6 +436,8 @@ def _lloyd_refine(emb: DataFrame, cents: DataFrame, iters: int) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+        if i > 0:  # iteration 0's input is the caller's seeds frame — not ours
+            prev.unpersist()
     return cents
 
 
@@ -477,7 +502,7 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
     key = _key(sf_dir)
     cents_name, cells_name = f"ivf_cents_{key}", f"ivf_cells_{key}"
     sig = _source_sig(spark, sf_dir, "embeddings")
-    if _VALIDATED.get(cells_name) == sig:
+    if _VALIDATED.get(_memo_key(spark, cells_name)) == sig:
         return cents_name, cells_name
     if not (_table_ok(spark, cents_name, sig) and _table_ok(spark, cells_name, sig)):
         _drop_stale(spark, cents_name)
@@ -485,7 +510,7 @@ def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
         build_ivf_tables(t(spark, sf_dir, "embeddings"), cents_name, cells_name)
         _write_meta(spark, cents_name, sig, spark.table(cents_name).count())
         _write_meta(spark, cells_name, sig, spark.table(cells_name).count())
-    _VALIDATED[cells_name] = sig
+    _VALIDATED[_memo_key(spark, cells_name)] = sig
     return cents_name, cells_name
 
 
@@ -513,13 +538,13 @@ def ensure_text_lsh_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent build of the text band table for ``sf_dir``'s documents."""
     name = f"text_lsh_{_key(sf_dir)}"
     sig = _source_sig(spark, sf_dir, "documents")
-    if _VALIDATED.get(name) == sig:
+    if _VALIDATED.get(_memo_key(spark, name)) == sig:
         return name
     if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
         build_text_lsh_table(t(spark, sf_dir, "documents"), name)
         _write_meta(spark, name, sig, spark.table(name).count())
-    _VALIDATED[name] = sig
+    _VALIDATED[_memo_key(spark, name)] = sig
     return name
 
 
@@ -549,13 +574,13 @@ def ensure_shingle_index(spark: SparkSession, sf_dir: str) -> str:
     """Idempotent build of the shingle inverted index."""
     name = f"text_shingles_{_key(sf_dir)}"
     sig = _source_sig(spark, sf_dir, "documents")
-    if _VALIDATED.get(name) == sig:
+    if _VALIDATED.get(_memo_key(spark, name)) == sig:
         return name
     if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
         build_shingle_table(t(spark, sf_dir, "documents"), name)
         _write_meta(spark, name, sig, spark.table(name).count())
-    _VALIDATED[name] = sig
+    _VALIDATED[_memo_key(spark, name)] = sig
     return name
 
 
@@ -580,13 +605,13 @@ def ensure_simhash_index(spark: SparkSession, sf_dir: str) -> str:
     returns the catalog table name."""
     name = f"simhash_fps_{_key(sf_dir)}"
     sig = _source_sig(spark, sf_dir, "documents")
-    if _VALIDATED.get(name) == sig:
+    if _VALIDATED.get(_memo_key(spark, name)) == sig:
         return name
     if not _table_ok(spark, name, sig):
         _drop_stale(spark, name)
         build_simhash_table(t(spark, sf_dir, "documents"), name)
         _write_meta(spark, name, sig, spark.table(name).count())
-    _VALIDATED[name] = sig
+    _VALIDATED[_memo_key(spark, name)] = sig
     return name
 
 

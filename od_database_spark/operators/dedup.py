@@ -160,17 +160,12 @@ def _drop_hot_groups(keyed: DataFrame, group_cols: list, cap: int, what: str) ->
         RuntimeWarning,
         stacklevel=3,
     )
-    if len(group_cols) == 1:
-        keys = [r[0] for r in hot]
-        return keyed.filter(~F.col(group_cols[0]).isin(keys))
-    cond = None
-    for r in hot:
-        eq = None
-        for c in group_cols:
-            e = F.col(c) == F.lit(r[c])
-            eq = e if eq is None else (eq & e)
-        cond = eq if cond is None else (cond | eq)
-    return keyed.filter(~cond)
+    # broadcast anti-join on the collected hot keys, NOT an isin/OR-chain
+    # literal filter: this query family's latency is driver-side planning of
+    # literal trees (measured r2), and a corpus with many hot groups would
+    # re-pay that per query — a tiny broadcast relation keeps the plan flat
+    hot_df = keyed.sparkSession.createDataFrame(hot, keyed.select(*group_cols).schema)
+    return keyed.join(F.broadcast(hot_df), on=group_cols, how="left_anti")
 
 
 def near_pairs_from_fingerprints(

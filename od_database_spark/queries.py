@@ -863,10 +863,20 @@ def _store_env_errors() -> tuple:
     return (OSError, AnalysisException, Py4JError)
 
 
-# failed (ensure_fn, sf_dir) pairs: the fallback decision is made ONCE per
-# session — a persistently broken store must not re-pay the source stat pass
-# and build attempt on every query call
-_STORE_FAILED: set[tuple[str, str]] = set()
+# failed (applicationId, ensure_fn, sf_dir) triples: the fallback decision
+# is made ONCE per application — a persistently broken store must not re-pay
+# the source stat pass and build attempt on every query call, and a NEW
+# application (fresh context, possibly healthy warehouse) must retry rather
+# than inherit a dead verdict from a previous one in the same process.
+_STORE_FAILED: set[tuple[str, str, str]] = set()
+
+
+def _failure_key(spark: SparkSession, fn_name: str, sf_dir: str):
+    return (spark.sparkContext.applicationId, fn_name, sf_dir)
+
+
+# degraded-mode memo for the IVF fallback frames (see _ivf_frames)
+_IVF_FALLBACK: dict = {}
 
 
 def _indexed(spark: SparkSession, sf_dir: str, ensure_fn, inline_fn) -> DataFrame:
@@ -874,15 +884,15 @@ def _indexed(spark: SparkSession, sf_dir: str, ensure_fn, inline_fn) -> DataFram
     to the bit-identical inline computation when the store can't be built
     (read-only warehouse / no writable cwd).  The store is an optimization
     — never a correctness requirement.  Failures are memoized per
-    (ensure_fn, sf_dir) so the warning fires once and later calls skip the
-    doomed build attempt."""
+    (application, ensure_fn, sf_dir) so the warning fires once and later
+    calls skip the doomed build attempt."""
     fn_name = getattr(ensure_fn, "__name__", "index")
-    if (fn_name, sf_dir) in _STORE_FAILED:
+    if _failure_key(spark, fn_name, sf_dir) in _STORE_FAILED:
         return inline_fn()
     try:
         return spark.table(ensure_fn(spark, sf_dir))
     except _store_env_errors():
-        _STORE_FAILED.add((fn_name, sf_dir))
+        _STORE_FAILED.add(_failure_key(spark, fn_name, sf_dir))
         _warn_store_fallback(fn_name)
         return inline_fn()
 
@@ -951,15 +961,24 @@ def _ivf_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]
     fallback."""
     from .operators import ann_store
 
-    if ("ensure_ivf_index", sf_dir) in _STORE_FAILED:
-        return ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
+    def fallback():
+        # the inline build TRAINS the quantizer (eager Lloyd jobs) — memoize
+        # the frames per (application, sf_dir) so degraded mode pays that
+        # once, not on every query invocation
+        key = _failure_key(spark, "_ivf_fallback_frames", sf_dir)
+        if key not in _IVF_FALLBACK:
+            _IVF_FALLBACK[key] = ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
+        return _IVF_FALLBACK[key]
+
+    if _failure_key(spark, "ensure_ivf_index", sf_dir) in _STORE_FAILED:
+        return fallback()
     try:
         cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
         return spark.table(cents_tbl), spark.table(cells_tbl)
     except _store_env_errors():
-        _STORE_FAILED.add(("ensure_ivf_index", sf_dir))
+        _STORE_FAILED.add(_failure_key(spark, "ensure_ivf_index", sf_dir))
         _warn_store_fallback("ivf")
-        return ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
+        return fallback()
 
 
 def q_minhash_lsh(spark, sf_dir):

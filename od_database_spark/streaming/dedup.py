@@ -60,8 +60,14 @@ def _recover_seen_table(spark: SparkSession, seen_table: str, n_buckets: int) ->
 
     loc = _table_dir(spark, seen_table)
     fs, jpath = _fs(spark, loc)
-    if not fs.exists(jpath) or not fs.listStatus(jpath):
+    if not fs.exists(jpath):
         return False  # genuinely no prior state
+    entries = fs.listStatus(jpath)
+    if not any(not s.getPath().getName().startswith(("_", ".")) for s in entries):
+        # only a torn write's _temporary droppings — NOT committed state;
+        # clean them so the CREATE path can recreate the location
+        fs.delete(jpath, True)
+        return False
     spark.sql(
         f"""CREATE TABLE {seen_table} (url STRING, url_hash BIGINT, epoch BIGINT)
             USING parquet

@@ -50,54 +50,40 @@ def stream_embeddings(spark: SparkSession, in_dir: str) -> DataFrame:
     )
 
 
-def _recover_index_tables(
-    spark: SparkSession,
-    lsh_table: str,
-    ivf_tables: tuple[str, str] | None,
-    n_buckets: int,
-) -> bool:
-    """Cross-session resume: like the streaming seen table
-    (streaming/dedup.py), the index tables are DURABLE state whose files
-    survive a session while the in-memory catalog does not — a naive
-    first-batch build would then CREATE over the surviving location and die
-    with LOCATION_ALREADY_EXISTS (or worse, re-train the quantizer over one
-    batch).  When the catalog entry is missing but the location holds
-    files, re-register each table with its original layout (bucket spec for
-    the LSH table, partition recovery for the IVF inverted lists).
-    Returns True iff the index exists (pre-existing or recovered)."""
+def _committed_files(spark: SparkSession, name: str) -> bool:
+    """True iff the table location holds COMMITTED output (any entry not
+    starting with '_'/'.') — a torn build leaves only ``_temporary``
+    droppings, which must NOT be re-registered as an empty table (that would
+    make the build branch unreachable forever).  A torn-only location is
+    deleted so the build path can recreate it cleanly."""
     from ..operators.ann_store import _fs, _table_dir
 
-    def surviving(name: str) -> bool:
-        loc = _table_dir(spark, name)
-        fs, jpath = _fs(spark, loc)
-        return bool(fs.exists(jpath) and fs.listStatus(jpath))
-
-    if spark.catalog.tableExists(lsh_table):
-        return True
-    if not surviving(lsh_table):
+    loc = _table_dir(spark, name)
+    fs, jpath = _fs(spark, loc)
+    if not fs.exists(jpath):
         return False
-    loc = _table_dir(spark, lsh_table)
-    spark.sql(
-        f"""CREATE TABLE {lsh_table} (vec_id BIGINT, bucket STRING)
-            USING parquet
-            CLUSTERED BY (bucket) SORTED BY (bucket) INTO {n_buckets} BUCKETS
-            LOCATION '{loc}'"""
-    )
-    if ivf_tables is not None:
-        cents_name, cells_name = ivf_tables
-        if not spark.catalog.tableExists(cents_name) and surviving(cents_name):
-            spark.sql(
-                f"CREATE TABLE {cents_name} (cent_id BIGINT, cent ARRAY<DOUBLE>) "
-                f"USING parquet LOCATION '{_table_dir(spark, cents_name)}'"
-            )
-        if not spark.catalog.tableExists(cells_name) and surviving(cells_name):
-            spark.sql(
-                f"""CREATE TABLE {cells_name}
-                    (vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT)
-                    USING parquet PARTITIONED BY (cell)
-                    LOCATION '{_table_dir(spark, cells_name)}'"""
-            )
-            spark.sql(f"MSCK REPAIR TABLE {cells_name}")
+    entries = fs.listStatus(jpath)
+    if any(not s.getPath().getName().startswith(("_", ".")) for s in entries):
+        return True
+    fs.delete(jpath, True)  # only uncommitted garbage at this location
+    return False
+
+
+def _have_table(spark: SparkSession, name: str, ddl: str, repair: bool = False) -> bool:
+    """The table is usable: registered in the catalog, or recoverable from
+    surviving COMMITTED files (cross-session resume — the in-memory catalog
+    forgets tables the warehouse keeps; a naive re-CREATE would die with
+    LOCATION_ALREADY_EXISTS, or worse re-train the quantizer over one
+    batch).  Returns False when there is genuinely no prior state."""
+    if spark.catalog.tableExists(name):
+        return True
+    if not _committed_files(spark, name):
+        return False
+    from ..operators.ann_store import _table_dir
+
+    spark.sql(ddl.format(name=name, loc=_table_dir(spark, name)))
+    if repair:
+        spark.sql(f"MSCK REPAIR TABLE {name}")
     return True
 
 
@@ -108,24 +94,53 @@ def index_sink(
 ):
     """foreachBatch sink implementing the incremental index protocol above.
     ``ivf_tables`` is (centroids_table, cells_table) to co-maintain the IVF
-    index from the same stream; None maintains only the LSH table."""
+    index from the same stream; None maintains only the LSH table.
+
+    The LSH and IVF writes are NOT one atomic commit, so the build-vs-append
+    decision and the replay anti-join run PER STRUCTURE: a crash between the
+    LSH and IVF writes replays the epoch (foreachBatch is at-least-once and
+    only commits the epoch after the sink returns), the already-written
+    structure drains through its own anti-join, and the missing one builds
+    or appends from the same replayed batch — keyed on one structure alone,
+    the replay would drain the batch against the LSH table and the IVF
+    side would either never be built or silently lose the batch's vectors."""
+    lsh_ddl = (
+        "CREATE TABLE {name} (vec_id BIGINT, bucket STRING) USING parquet "
+        f"CLUSTERED BY (bucket) SORTED BY (bucket) INTO {n_buckets} BUCKETS "
+        "LOCATION '{loc}'"
+    )
+    cents_ddl = (
+        "CREATE TABLE {name} (cent_id BIGINT, cent ARRAY<DOUBLE>) "
+        "USING parquet LOCATION '{loc}'"
+    )
+    cells_ddl = (
+        "CREATE TABLE {name} (vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT) "
+        "USING parquet PARTITIONED BY (cell) LOCATION '{loc}'"
+    )
 
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
-        batch = batch_df.dropDuplicates(["vec_id"])
-        if not _recover_index_tables(spark, lsh_table, ivf_tables, n_buckets):
-            batch = batch.localCheckpoint(eager=True)  # build reads it twice
+        batch = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
+        if _have_table(spark, lsh_table, lsh_ddl):
+            seen_ids = spark.table(lsh_table).select("vec_id").distinct()
+            new = batch.join(seen_ids, on="vec_id", how="left_anti")
+            ann_store.append_lsh_vectors(new, lsh_table, n_buckets)
+        else:
             ann_store.build_lsh_table(batch, lsh_table, n_buckets)
-            if ivf_tables is not None:
-                ann_store.build_ivf_tables(batch, *ivf_tables)
-            return
-        seen_ids = spark.table(lsh_table).select("vec_id").distinct()
-        new = batch.join(seen_ids, on="vec_id", how="left_anti").localCheckpoint(
-            eager=True
-        )
-        ann_store.append_lsh_vectors(new, lsh_table, n_buckets)
         if ivf_tables is not None:
-            ann_store.append_ivf_vectors(new, *ivf_tables)
+            cents_name, cells_name = ivf_tables
+            if _have_table(spark, cents_name, cents_ddl) and _have_table(
+                spark, cells_name, cells_ddl, repair=True
+            ):
+                seen_c = spark.table(cells_name).select("vec_id").distinct()
+                new_c = batch.join(seen_c, on="vec_id", how="left_anti")
+                ann_store.append_ivf_vectors(new_c, cents_name, cells_name)
+            else:
+                # first build OR replay of a torn first build: both rebuild
+                # from the SAME replayed batch (mode=overwrite), so a crash
+                # between the cents and cells writes heals on retry
+                ann_store.build_ivf_tables(batch, cents_name, cells_name)
+        batch.unpersist()
 
     return sink
 

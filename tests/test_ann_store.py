@@ -22,7 +22,7 @@ def _clean_tables(spark, sf_dir):
         f"simhash_fps_{key}", f"text_lsh_{key}", f"text_shingles_{key}",
     ):
         spark.sql(f"DROP TABLE IF EXISTS {name}")
-        AS._VALIDATED.pop(name, None)
+        AS._forget(name)
 
 
 def test_lsh_index_build_once_and_rebuild_on_mismatch(spark, sf_dir):
@@ -31,10 +31,10 @@ def test_lsh_index_build_once_and_rebuild_on_mismatch(spark, sf_dir):
     assert spark.table(name).count() == n * ANN_BANDS
     # second call is a memo hit — no rebuild (table object identity can't be
     # asserted; assert the validation memo instead)
-    assert name in AS._VALIDATED
+    assert any(k[1] == name for k in AS._VALIDATED)
     assert AS.ensure_lsh_index(spark, sf_dir) == name
     # a stale table (wrong row count, e.g. source regenerated) rebuilds
-    AS._VALIDATED.pop(name, None)
+    AS._forget(name)
     spark.sql(f"DROP TABLE {name}")
     AS._drop_stale(spark, name)
     spark.createDataFrame([(1, "0:0")], "vec_id long, bucket string").write.mode(
@@ -74,7 +74,7 @@ def test_source_signature_triggers_rebuild(spark, sf_dir, tmp_path):
     assert name2 == name
     assert AS._read_sig(spark, name) != first  # rebuilt against new source
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    AS._VALIDATED.pop(name, None)
+    AS._forget(name)
 
 
 def test_bucket_search_reads_index_with_pushed_bucket_filter(spark, sf_dir):
@@ -259,9 +259,10 @@ def test_queries_fall_back_inline_without_store(spark, sf_dir, monkeypatch):
             assert got == normal[name], name
         # the fallback decision is memoized: every ensure_* failure for this
         # sf_dir is recorded once, later calls skip the doomed build attempt
-        assert any(d == sf_dir for _, d in Q._STORE_FAILED)
+        assert any(k[-1] == sf_dir for k in Q._STORE_FAILED)
     finally:
         Q._STORE_FAILED.clear()  # don't poison later tests' store usage
+        Q._IVF_FALLBACK.clear()
 
 
 def test_store_bug_surfaces_not_swallowed(spark, sf_dir, monkeypatch):
@@ -383,7 +384,7 @@ def test_append_then_ensure_survives_revalidation(spark, sf_dir, tmp_path):
     assert spark.table(cells_tbl).count() == cells_base + 3
     for n in (name, cents_tbl, cells_tbl):
         spark.sql(f"DROP TABLE IF EXISTS {n}")
-        AS._VALIDATED.pop(n, None)
+        AS._forget(n)
 
 
 def test_session_restart_recovers_index_without_rebuild(spark, sf_dir, tmp_path):
@@ -441,7 +442,7 @@ def test_session_restart_recovers_index_without_rebuild(spark, sf_dir, tmp_path)
     assert sorted(map(tuple, spark.table(lsh).collect())) == before[lsh]
     for t_ in (lsh, cents, cells):
         spark.sql(f"DROP TABLE IF EXISTS {t_}")
-        AS._VALIDATED.pop(t_, None)
+        AS._forget(t_)
 
 
 def test_torn_meta_never_validates_stale(spark, sf_dir, tmp_path):
@@ -461,7 +462,7 @@ def test_torn_meta_never_validates_stale(spark, sf_dir, tmp_path):
     meta = AS._read_meta(spark, name)
     assert meta is not None and meta["rows"] == full  # sidecar healed
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    AS._VALIDATED.pop(name, None)
+    AS._forget(name)
 
 
 def test_missing_meta_is_untrusted(spark, sf_dir, tmp_path):
@@ -477,7 +478,7 @@ def test_missing_meta_is_untrusted(spark, sf_dir, tmp_path):
     AS.ensure_lsh_index(spark, src)
     assert AS._read_meta(spark, name) is not None
     spark.sql(f"DROP TABLE IF EXISTS {name}")
-    AS._VALIDATED.pop(name, None)
+    AS._forget(name)
 
 
 def test_scaled_geometry_store_is_separate_and_larger(spark, sf_dir, tmp_path):
@@ -497,7 +498,7 @@ def test_scaled_geometry_store_is_separate_and_larger(spark, sf_dir, tmp_path):
     assert spark.table(scaled).count() == spark.table(default).count()
     for n in (default, scaled):
         spark.sql(f"DROP TABLE IF EXISTS {n}")
-        AS._VALIDATED.pop(n, None)
+        AS._forget(n)
 
 
 def test_scaled_occupancy_agg_is_bucket_local(spark, sf_dir):

@@ -126,6 +126,57 @@ def test_cross_session_resume_recovers_index_tables(spark, env):
     assert cents_after == cents_before
 
 
+def test_replay_heals_crash_between_lsh_and_ivf_writes(spark, env):
+    """The LSH and IVF writes are not one atomic commit: an epoch that
+    crashes after the LSH build but before the IVF build replays (foreach-
+    Batch commits the epoch only after the sink returns), and the replay
+    must BUILD the missing IVF side from the same batch — not drain the
+    batch against the LSH table and leave the IVF index forever unbuildable."""
+    d, (lsh, cents, cells) = env
+    b1 = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(30)], "vec_id long, embedding array<float>"
+    )
+    # simulate the crash: only the LSH write of epoch 0 landed
+    AS.build_lsh_table(b1, lsh)
+    sink = IM.index_sink(lsh, ivf_tables=(cents, cells))
+    sink(b1, 0)  # replay of the torn epoch
+    from od_database_spark.queries import ANN_BANDS
+
+    assert spark.table(lsh).count() == 30 * ANN_BANDS  # drained, no dup
+    assert spark.table(cells).count() == 30  # IVF built on replay
+    # ...and a crash between APPEND epochs heals the same way
+    b2 = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(30, 50)], "vec_id long, embedding array<float>"
+    )
+    AS.append_lsh_vectors(b2, lsh)  # epoch 1 crashed after the LSH append
+    sink(b2, 1)  # replay
+    assert spark.table(lsh).count() == 50 * ANN_BANDS
+    assert spark.table(cells).count() == 50  # the batch's vectors NOT lost
+
+
+def test_torn_build_leftovers_do_not_register_empty_table(spark, env):
+    """A location holding only a torn build's _temporary droppings must not
+    be recovered as an (empty) table — that would make the build branch
+    unreachable; the garbage is cleaned and the build proceeds."""
+    import os
+    from urllib.parse import urlparse
+
+    d, (lsh, cents, cells) = env
+    loc = urlparse(AS._table_dir(spark, lsh)).path
+    os.makedirs(f"{loc}/_temporary/0", exist_ok=True)
+    with open(f"{loc}/_temporary/0/part-stub", "w") as f:
+        f.write("torn")
+    sink = IM.index_sink(lsh, ivf_tables=(cents, cells))
+    b1 = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(10)], "vec_id long, embedding array<float>"
+    )
+    sink(b1, 0)
+    from od_database_spark.queries import ANN_BANDS
+
+    assert spark.table(lsh).count() == 10 * ANN_BANDS  # built, not empty
+    assert spark.table(cells).count() == 10
+
+
 def test_index_sink_replay_is_idempotent(spark, env):
     d, (lsh, cents, cells) = env
     sink = IM.index_sink(lsh, ivf_tables=(cents, cells))
