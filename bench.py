@@ -289,6 +289,15 @@ def run_scaled_geometry(spark, sf10x_dir: str) -> dict:
     e = load(spark, sf10x_dir, "embeddings")
     out = {}
     for label, rows in (("fixed", None), ("scaled", SCALED_ROWS)):
+        # measure a FRESH build: run_sf10x's untimed ingest already built
+        # both geometries, so a bare ensure_* here is a _VALIDATED memo hit
+        # and would record memo-lookup time as index_build_sec (r4 artifact
+        # did exactly that) — drop the table and forget the memo first
+        tbl = ann_store.lsh_table_name(
+            sf10x_dir, bands=None if rows is None else ANN_BANDS, rows=rows
+        )
+        ann_store._drop_stale(spark, tbl)
+        ann_store._forget(tbl)
         t0 = time.time()
         if rows is None:
             name = ann_store.ensure_lsh_index(spark, sf10x_dir)

@@ -223,6 +223,9 @@ _RECOVER_DDL = {
         None,
     ),
     "simhash_fps": ("(doc_id BIGINT, simhash BIGINT)", "", None),
+    # cent is ARRAY<DOUBLE> only because Lloyd means are doubles; with zero
+    # Lloyd iterations the stored seed centroids would be the source's
+    # ARRAY<FLOAT> and this recovery DDL would mismatch the parquet files
     "ivf_cents": ("(cent_id BIGINT, cent ARRAY<DOUBLE>)", "", None),
     "ivf_cells": (
         "(vec_id BIGINT, embedding ARRAY<FLOAT>, cell BIGINT)",
@@ -230,6 +233,10 @@ _RECOVER_DDL = {
         "cell",
     ),
 }
+
+# the ivf_cents recovery DDL above hardcodes ARRAY<DOUBLE> — only valid
+# while at least one Lloyd iteration runs (see the comment on the entry)
+assert IVF_LLOYD >= 1, "ivf_cents recovery DDL assumes double (Lloyd) centroids"
 
 
 def _recover_registration(spark: SparkSession, name: str) -> bool:
@@ -318,6 +325,18 @@ def build_lsh_table(
     )
 
 
+def lsh_table_name(sf_dir: str, bands: int | None = None, rows: int | None = None) -> str:
+    """The deterministic catalog name ensure_lsh_index uses for this
+    (source, geometry) — lets callers (bench fresh-build measurement, tests)
+    address the table before it exists."""
+    key = _key(sf_dir)
+    if bands is None and rows is None:
+        return f"ann_buckets_{key}"
+    b = ANN_BANDS if bands is None else bands
+    r = ANN_ROWS if rows is None else rows
+    return f"ann_buckets_{key}_b{b}r{r}"
+
+
 def ensure_lsh_index(
     spark: SparkSession, sf_dir: str, bands: int | None = None, rows: int | None = None
 ) -> str:
@@ -327,16 +346,16 @@ def ensure_lsh_index(
     non-default (bands, rows) geometry gets its OWN table (name + signature
     both carry the geometry) — the scaled-corpus path sizes the index to the
     data without touching the oracle-parity default."""
-    key = _key(sf_dir)
+    name = lsh_table_name(sf_dir, bands, rows)
     if bands is None and rows is None:
-        name, tables, n_bands = f"ann_buckets_{key}", None, ANN_BANDS
+        tables = None
         sig = _source_sig(spark, sf_dir, "embeddings")
     else:
         from ..queries import ann_planes
 
         b = ANN_BANDS if bands is None else bands
         r = ANN_ROWS if rows is None else rows
-        name, tables, n_bands = f"ann_buckets_{key}_b{b}r{r}", ann_planes(b, r), b
+        tables = ann_planes(b, r)
         sig = _source_sig(spark, sf_dir, "embeddings", params=f"geom:{b}:{r}")
     if _VALIDATED.get(_memo_key(spark, name)) == sig:
         return name
@@ -367,6 +386,12 @@ def append_lsh_vectors(
         "vec_id", F.explode(ann_band_buckets(F.col("embedding"), tables)).alias("bucket")
     ).persist()
     n_new = keyed.count()
+    # bump BEFORE the append commits: a crash in between leaves an OVER-count
+    # that fails validation into a rebuild (correct — the append never
+    # landed).  The reverse order had a window where a committed append with
+    # no bump read as a row-count mismatch and silently REBUILT FROM SOURCE,
+    # dropping the already-committed appended vectors.
+    _bump_meta_rows(spark, name, n_new)
     (
         keyed.write.mode("append")
         .bucketBy(n_buckets, "bucket")
@@ -375,7 +400,6 @@ def append_lsh_vectors(
         .saveAsTable(name)
     )
     keyed.unpersist()
-    _bump_meta_rows(spark, name, n_new)
 
 
 # --- IVF coarse index -------------------------------------------------------
@@ -487,6 +511,10 @@ def append_ivf_vectors(delta: DataFrame, cents_name: str, cells_name: str) -> No
     spark = delta.sparkSession
     cells = _assign_cells(delta, spark.table(cents_name)).persist()
     n_new = cells.count()
+    # bump-before-write: see append_lsh_vectors — a crash between the two
+    # steps must read as an invalid (over-counted) table, never as silent
+    # loss of a committed append
+    _bump_meta_rows(spark, cells_name, n_new)
     (
         cells.write.mode("append")
         .partitionBy("cell")
@@ -494,7 +522,6 @@ def append_ivf_vectors(delta: DataFrame, cents_name: str, cells_name: str) -> No
         .saveAsTable(cells_name)
     )
     cells.unpersist()
-    _bump_meta_rows(spark, cells_name, n_new)
 
 
 def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:

@@ -137,35 +137,62 @@ def hamming64(a: Column, b: Column) -> Column:
     return F.bit_count(a.bitwiseXOR(b))
 
 
-def _drop_hot_groups(keyed: DataFrame, group_cols: list, cap: int, what: str) -> DataFrame:
-    """Skew guard for candidate self-joins: groups larger than ``cap`` rows
-    are EXCLUDED from candidate generation — a hot bucket (an adversarial
-    duplicate-heavy cluster, an all-zero embedding sliver) otherwise costs
-    O(n²) pairs no matter the banding geometry.  This is the standard
-    web-corpus dedup guard (the same reason MinHash pipelines drop
-    super-frequent shingles); recall inside dropped groups is traded away
-    EXPLICITLY: the hot keys are collected (bounded by corpus/cap) and the
-    drop is surfaced as a RuntimeWarning — never a silent truncation.  At
-    scale the pre-count is one slim map-side-combined agg over (keys)."""
+def _bound_hot_groups(
+    keyed: DataFrame, group_cols: list, id_col: str, cap: int, what: str
+) -> DataFrame:
+    """Skew guard for candidate self-joins: a hot group (an adversarial
+    duplicate-heavy cluster, an all-zero embedding sliver) costs O(n²) pairs
+    no matter the banding geometry.  Instead of EXCLUDING over-cap groups
+    (the round-4 form — recall inside them dropped to zero), rows of a hot
+    group are salted into ⌈n/cap⌉ sub-chunks by ``pmod(xxhash64(id),
+    chunks)`` and the self-join key gains the chunk: per-group pair work
+    drops from C(n,2) to ~chunks·C(n/chunks,2) ≈ n·cap/2 in expectation
+    (hash-balanced chunks; a rank-window would make the bound hard but
+    single-tasks the hot group's sort — the wrong trade at 10^7-row
+    groups) — BOUNDED, while
+    within-chunk duplicates are still found (partial, deterministic recall:
+    a pair survives iff both ids salt into the same chunk, ~1/chunks of
+    pairs — nonzero, vs 0 under exclusion; a downstream connected-components
+    pass still collapses each chunk-clique).  The trade is surfaced as a
+    RuntimeWarning — never a silent truncation.  At scale the pre-count is
+    one slim map-side-combined agg over the group keys, and only the (few,
+    by assumption) hot keys ride the broadcast; nothing is collected beyond
+    the warning's count (the keys themselves never reach the driver).
+
+    Returns ``keyed`` plus a ``_chunk`` column (0 outside hot groups) —
+    callers must add ``_chunk`` to the self-join keys."""
     import warnings
 
     sizes = keyed.groupBy(*group_cols).agg(F.count("*").alias("_n"))
-    hot = sizes.filter(F.col("_n") > cap).select(*group_cols).collect()
-    if not hot:
-        return keyed
+    # lazy plan, re-evaluated by the join below: the slim map-side-combined
+    # agg is cheap next to the pair join, and keeping it lazy avoids pinning
+    # checkpoint blocks this helper has no hook to release
+    hot = sizes.filter(F.col("_n") > cap).select(
+        *group_cols, F.ceil(F.col("_n") / cap).cast("long").alias("_chunks")
+    )
+    n_hot = hot.count()
+    if n_hot == 0:
+        return keyed.withColumn("_chunk", F.lit(0).cast("long"))
     warnings.warn(
-        f"{what}: excluding {len(hot)} hot group(s) larger than {cap} rows "
-        "from candidate generation (explicit recall trade — handle those "
-        "clusters with exact dedup instead)",
+        f"{what}: salting {n_hot} hot group(s) larger than {cap} rows into "
+        "sub-chunks (bounded pair generation; within-chunk recall only for "
+        "those groups — run exact dedup on them for full recall)",
         RuntimeWarning,
         stacklevel=3,
     )
-    # broadcast anti-join on the collected hot keys, NOT an isin/OR-chain
-    # literal filter: this query family's latency is driver-side planning of
-    # literal trees (measured r2), and a corpus with many hot groups would
-    # re-pay that per query — a tiny broadcast relation keeps the plan flat
-    hot_df = keyed.sparkSession.createDataFrame(hot, keyed.select(*group_cols).schema)
-    return keyed.join(F.broadcast(hot_df), on=group_cols, how="left_anti")
+    return (
+        keyed.join(F.broadcast(hot), on=group_cols, how="left")
+        .withColumn(
+            "_chunk",
+            F.when(
+                F.col("_chunks").isNotNull(),
+                F.pmod(F.xxhash64(F.col(id_col)), F.col("_chunks")),
+            )
+            .otherwise(F.lit(0))
+            .cast("long"),
+        )
+        .drop("_chunks")
+    )
 
 
 def near_pairs_from_fingerprints(
@@ -202,13 +229,16 @@ def near_pairs_from_fingerprints(
             )
         ).alias("_bb"),
     ).select(id_col, "simhash", F.col("_bb.band").alias("band"), F.col("_bb.block").alias("block"))
+    join_keys = ["band", "block"]
     if max_block_size is not None:
-        keyed = _drop_hot_groups(
-            keyed, ["band", "block"], max_block_size, "near_pairs_from_fingerprints"
+        keyed = _bound_hot_groups(
+            keyed, ["band", "block"], id_col, max_block_size,
+            "near_pairs_from_fingerprints",
         )
+        join_keys = ["band", "block", "_chunk"]
     a, b = keyed.alias("a"), keyed.alias("b")
     return (
-        a.join(b, on=["band", "block"])
+        a.join(b, on=join_keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
@@ -381,23 +411,26 @@ def embedding_near_dup(
     and the self-join then reads the bucketed table co-located on both
     sides instead of hashing every vector twice per invocation.
 
-    ``max_bucket_size`` is the hot-bucket skew guard (_drop_hot_groups):
-    buckets above the cap are excluded from candidate generation with a
-    RuntimeWarning — scaled geometry bounds the EXPECTED bucket size, the
-    cap bounds the ADVERSARIAL one (a million byte-identical vectors land
-    in one bucket at any geometry)."""
+    ``max_bucket_size`` is the hot-bucket skew guard (_bound_hot_groups):
+    buckets above the cap are salted into sub-chunks and pairs form only
+    within a chunk — bounded ≤ n·cap/2 pairs per bucket with partial
+    (within-chunk) recall, surfaced by a RuntimeWarning.  Scaled geometry
+    bounds the EXPECTED bucket size, the cap bounds the ADVERSARIAL one (a
+    million byte-identical vectors land in one bucket at any geometry)."""
     if keyed is None:
         keyed = df.select(
             F.col(id_col),
             F.explode(ann_band_buckets(F.col(emb_col), tables)).alias("bucket"),
         )
+    join_keys = ["bucket"]
     if max_bucket_size is not None:
-        keyed = _drop_hot_groups(
-            keyed, ["bucket"], max_bucket_size, "embedding_near_dup"
+        keyed = _bound_hot_groups(
+            keyed, ["bucket"], id_col, max_bucket_size, "embedding_near_dup"
         )
+        join_keys = ["bucket", "_chunk"]
     a, b = keyed.alias("a"), keyed.alias("b")
     pairs = (
-        a.join(b, on="bucket")
+        a.join(b, on=join_keys)
         .filter(F.col(f"a.{id_col}") < F.col(f"b.{id_col}"))
         .select(
             F.col(f"a.{id_col}").alias("id_a"), F.col(f"b.{id_col}").alias("id_b")
