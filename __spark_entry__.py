@@ -61,8 +61,13 @@ def _round1(spark: SparkSession):
     return _memo[key]
 
 
-def q_submit_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """C2: full submit-time dedup chain (views.py:269-302) over the seed list."""
+def q_crawl_submit_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C2: the FULL submit-time dedup chain (views.py:269-302 — validity,
+    seen, prefix, blacklist, is_od) over the synthetic world's seed list.
+    The serial-resolution core (resolve_intra_batch) is oracle-gated as the
+    registry's ``submit_dedup``; this demo keeps the whole chain (which
+    needs the page model DuckDB can't see) visible, pytest-verified vs
+    tests/oracle.py."""
     return _submitted(spark).select("url", "host", "submit_seq").orderBy("submit_seq")
 
 
@@ -107,15 +112,14 @@ def q_image_verify(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("fmt")
 
 
-def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Image-side near-dup detection: 64-bit perceptual-hash hamming pairs
-    via multi-probe sub-block banding (operators/dedup.image_phash_near_pairs
-    — the image analog of simhash_neardup, pytest-verified against a
-    brute-force oracle).  The synthetic world has no re-posted images by
-    construction, so every 7th image gets a DETERMINISTIC 're-encode'
-    stand-in (2 flipped phash bits — a real re-encode perturbs a perceptual
-    hash about that much); the query must find exactly those plants, and
-    does: recall is pigeonhole-exact for hamming ≤ 3 under 4 bands."""
+def q_image_phash_reencode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image-side near-dup detection over REAL fetched images: 64-bit
+    perceptual-hash hamming pairs via multi-probe sub-block banding
+    (operators/dedup.image_phash_near_pairs).  The banding operator itself
+    is oracle-gated as the registry's ``image_phash_neardup``; this demo
+    runs it over the crawl's decoded images with planted deterministic
+    're-encodes' (2 flipped phash bits), pytest-verified against a
+    brute-force numpy oracle."""
     from od_database_spark.operators.dedup import image_phash_near_pairs
 
     _, _, image_urls = _round1(spark)
@@ -130,11 +134,11 @@ def q_image_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _CRAWL_QUERIES = {
-    "submit_dedup": q_submit_dedup,
+    "crawl_submit_chain": q_crawl_submit_chain,
     "crawl_frontier_round": q_crawl_frontier_round,
     "fetch_images": q_fetch_images,
     "image_verify": q_image_verify,
-    "image_phash_neardup": q_image_phash_neardup,
+    "image_phash_reencode": q_image_phash_reencode,
 }
 
 

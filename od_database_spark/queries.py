@@ -1293,6 +1293,149 @@ SELECT bucket, CAST(count(*) AS BIGINT) AS cnt FROM k GROUP BY bucket ORDER BY b
 """
 
 
+def q_embedding_neardup_scaled(spark, sf_dir):
+    """embedding_neardup under the SCALED 4×2^9 geometry — the pair set the
+    10× anchor headlines (21.9M→5.3M candidate pairs) inside the correctness
+    gate, not just recall-pinned by pytest.  Same operator
+    (dedup.embedding_near_dup), same threshold; only the banding geometry
+    (and hence the candidate feed) differs.  Reads the geometry-keyed
+    persisted index table; inline banding is the no-store fallback."""
+    from .operators.dedup import ann_band_buckets, embedding_near_dup
+
+    e = t(spark, sf_dir, "embeddings")
+    tables = ann_planes(ANN_BANDS, ANN_SCALED_ROWS)
+
+    def inline():
+        return e.select(
+            "vec_id",
+            F.explode(ann_band_buckets(F.col("embedding"), tables)).alias("bucket"),
+        )
+
+    keyed = _indexed(spark, sf_dir, _ensure_scaled_lsh, inline)
+    return (
+        embedding_near_dup(e, "embedding", "vec_id", threshold=0.25, keyed=keyed)
+        .orderBy("id_a", "id_b")
+        .limit(200)
+    )
+
+
+def q_image_phash_neardup(spark, sf_dir):
+    """Image near-dup pairs by 64-bit perceptual-hash hamming distance
+    (operators/dedup.image_phash_near_pairs — multi-probe sub-block banding,
+    the image-payload dedup operator) under the DRIVER ORACLE: phashes are
+    derived deterministically from doc ids (md5 60-bit, the engine's
+    portable-hash idiom) and every 7th image gets a planted 're-encode'
+    (2 flipped bits — what a real JPEG re-encode does to a perceptual hash).
+    max_hamming=3 < bands, where banded recall is pigeonhole-EXACT, so the
+    banded pair set equals DuckDB's brute-force bit_count(xor) pair scan
+    bit-for-bit.  The crawl-world form (real fetched images through the same
+    operator) stays pytest-verified in tests/test_dedup.py + test_crawl."""
+    from .operators.dedup import image_phash_near_pairs
+
+    d = t(spark, sf_dir, "documents")
+    phash = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 15), 16, 10
+    ).cast("long")
+    base = d.select(F.col("doc_id").alias("image_id"), phash.alias("phash"))
+    reenc = base.filter(F.col("image_id") % 7 == 0).select(
+        (F.col("image_id") + 1000000).alias("image_id"),
+        F.col("phash").bitwiseXOR(F.lit(5)).alias("phash"),
+    )
+    return image_phash_near_pairs(base.unionByName(reenc), max_hamming=3).orderBy(
+        "id_a", "id_b"
+    )
+
+
+SQL_IMAGE_PHASH_NEARDUP = """
+WITH base AS (
+  SELECT doc_id AS image_id,
+         CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) AS phash
+  FROM documents),
+allrows AS (
+  SELECT image_id, phash FROM base
+  UNION ALL
+  SELECT image_id + 1000000, xor(phash, CAST(5 AS BIGINT)) FROM base WHERE image_id % 7 = 0)
+SELECT a.image_id AS id_a, b.image_id AS id_b,
+       CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+FROM allrows a JOIN allrows b ON a.image_id < b.image_id
+WHERE bit_count(xor(a.phash, b.phash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+def q_submit_dedup(spark, sf_dir):
+    """C2's serial-submission resolution (views.py:269-302 replayed in
+    submit order; prefix-block rule database.py:129-136) through the REAL
+    operator (operators/frontier.resolve_intra_batch) over a deterministic
+    3-level URL hierarchy synthesized from ``part``: roots host/w1/, dirs
+    host/w1/w2/, leaves host/w1/w2/type/.  Exact duplicates resolve to the
+    earliest submit_seq; a candidate is rejected iff an ACCEPTED strict
+    prefix of it has a smaller seq — so a later root does NOT retro-block an
+    earlier-accepted subdir, and a BLOCKED dir does not block its leaves
+    (the serial fixpoint the level-unrolled DuckDB CTE replays).  The
+    full-chain crawl-world form (incl. is_od/blacklist) stays
+    pytest-verified vs tests/oracle.py."""
+    from .operators.frontier import resolve_intra_batch
+
+    p = t(spark, sf_dir, "part")
+    words = F.split(F.lower(F.col("p_name")), " ")
+    host = F.format_string("http://h%d.ex/", F.pmod("p_partkey", F.lit(7)))
+    seq = F.col("p_partkey").cast("long")
+    w1, w2 = F.element_at(words, 1), F.element_at(words, 2)
+    typ = F.lower(F.col("p_type"))
+    dirs = p.select(
+        F.concat(host, w1, F.lit("/"), w2, F.lit("/")).alias("canon_url"),
+        seq.alias("submit_seq"),
+        F.lit(2).alias("depth"),
+    )
+    roots = p.filter(F.col("p_partkey") % 10 == 0).select(
+        F.concat(host, w1, F.lit("/")).alias("canon_url"),
+        seq.alias("submit_seq"),
+        F.lit(1).alias("depth"),
+    )
+    leaves = p.filter(F.col("p_partkey") % 4 == 0).select(
+        F.concat(host, w1, F.lit("/"), w2, F.lit("/"), typ, F.lit("/")).alias(
+            "canon_url"
+        ),
+        seq.alias("submit_seq"),
+        F.lit(3).alias("depth"),
+    )
+    accepted = resolve_intra_batch(dirs.unionByName(roots).unionByName(leaves))
+    return accepted.select(F.col("canon_url").alias("url"), "submit_seq").orderBy(
+        "submit_seq", "url"
+    )
+
+
+SQL_SUBMIT_DEDUP = """
+WITH w AS (
+  SELECT CAST(p_partkey AS BIGINT) AS seq,
+         'http://h' || CAST(p_partkey % 7 AS VARCHAR) || '.ex/' AS host,
+         string_split(lower(p_name), ' ') AS ws,
+         lower(p_type) AS typ
+  FROM part),
+cand AS (
+  SELECT host || ws[1] || '/' || ws[2] || '/' AS url, seq, 2 AS depth FROM w
+  UNION ALL
+  SELECT host || ws[1] || '/' AS url, seq, 1 AS depth FROM w WHERE seq % 10 = 0
+  UNION ALL
+  SELECT host || ws[1] || '/' || ws[2] || '/' || typ || '/' AS url, seq, 3 AS depth
+  FROM w WHERE seq % 4 = 0),
+uniq AS (SELECT url, min(seq) AS seq, min(depth) AS depth FROM cand GROUP BY url),
+acc1 AS (SELECT * FROM uniq WHERE depth = 1),
+acc2 AS (
+  SELECT c.* FROM uniq c WHERE c.depth = 2 AND NOT EXISTS (
+    SELECT 1 FROM acc1 a
+    WHERE a.url = substr(c.url, 1, len(a.url)) AND a.seq < c.seq)),
+acc3 AS (
+  SELECT c.* FROM uniq c WHERE c.depth = 3 AND NOT EXISTS (
+    SELECT 1 FROM (SELECT * FROM acc1 UNION ALL SELECT * FROM acc2) a
+    WHERE a.url = substr(c.url, 1, len(a.url)) AND a.seq < c.seq))
+SELECT url, seq AS submit_seq
+FROM (SELECT * FROM acc1 UNION ALL SELECT * FROM acc2 UNION ALL SELECT * FROM acc3)
+ORDER BY submit_seq, url
+"""
+
+
 def q_token_count(spark, sf_dir):
     """Token counting two ways (training-data pipeline op): whitespace split
     vs a BPE-ish greedy-chunk regex, aggregated per lang."""
@@ -1512,10 +1655,13 @@ def q_embedding_neardup(spark, sf_dir):
     )
 
 
-def _sql_embedding_neardup() -> str:
+def _sql_embedding_neardup(tables=None) -> str:
+    """``tables`` selects a non-default banding geometry (ann_planes) — the
+    scaled-geometry registry row replays the exact same pipeline with the
+    4×2^9 plane literals."""
     return f"""
 WITH e AS (
-  SELECT vec_id, embedding, {_sql_band_buckets()} AS buckets,
+  SELECT vec_id, embedding, {_sql_band_buckets(tables)} AS buckets,
          sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
               i -> CAST(embedding[i] AS DOUBLE) * CAST(embedding[i] AS DOUBLE)))) AS n
   FROM embeddings),
@@ -1861,6 +2007,12 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),
+    "embedding_neardup_scaled": (
+        q_embedding_neardup_scaled,
+        _sql_embedding_neardup(ann_planes(ANN_BANDS, ANN_SCALED_ROWS)),
+    ),
+    "image_phash_neardup": (q_image_phash_neardup, SQL_IMAGE_PHASH_NEARDUP),
+    "submit_dedup": (q_submit_dedup, SQL_SUBMIT_DEDUP),
     "embedding_batch_ann": (q_embedding_batch_ann, _sql_embedding_batch_ann()),
     "embedding_dedup_keep": (q_embedding_dedup_keep, _sql_embedding_dedup_keep()),
     "token_count": (q_token_count, SQL_TOKEN_COUNT),
