@@ -47,6 +47,7 @@ def run(
     expected_total_urls: int = 1_000_000,
     fetch: bool = True,
     compact_every: int = 8,
+    seen_table: str | None = None,
 ) -> CrawlResult:
     """Submit the seed list (full dedup chain), run BFS rounds under the
     politeness budget until the frontier drains, then fetch+decode the
@@ -54,7 +55,14 @@ def run(
 
     ``robots`` is either the parsed politeness dim (host, crawl_delay,
     disallow_prefixes) or RAW fetched bodies (host, robots_txt) — raw input
-    is parsed natively through functions.robots.parse_robots."""
+    is parsed natively through functions.robots.parse_robots.
+
+    ``seen_table`` switches the durable seen set to a BUCKETED catalog
+    table (operators/seen_store.py): rounds append their new urls stamped
+    with the round number, the exact anti-join reads the table co-located
+    (zero seen-side shuffle even off the bloom fallback path), and a resume
+    reconstructs the seen set from the table bounded at the last committed
+    round instead of unioning per-round delta parquet."""
     if "robots_txt" in robots.columns:
         from .functions.robots import parse_robots
 
@@ -67,7 +75,8 @@ def run(
         empty = spark.createDataFrame([], schema.SEEN)
         accepted = fr.submit_seeds(spark, seeds, empty, blacklist, pages)
         state = fr.initial_state(
-            accepted, use_bloom=use_bloom, expected_total_urls=expected_total_urls
+            accepted, use_bloom=use_bloom, expected_total_urls=expected_total_urls,
+            seen_table=seen_table,
         )
 
     urls_fetched = 0

@@ -220,6 +220,16 @@ class CrawlState:
     # left behind by a DIFFERENT run in a reused ckpt_dir — silently
     # unioning a stale run's seen deltas re-crawls or wrongly skips URLs
     run_id: str | None = None
+    # seen-table mode (operators/seen_store.py): when set, the durable seen
+    # set is this BUCKETED catalog table instead of per-round delta parquet
+    # — each round appends its new urls stamped with the round number
+    # (BEFORE the round's .done marker, so a torn round's rows are excluded
+    # by the resume's round_no bound), and the exact anti-join reads the
+    # table co-located: the seen side crosses ZERO exchanges even when the
+    # bloom's maybe-seen sliver outgrows the broadcast gate.  seen_delta
+    # then holds only THIS round's new rows (for the lineage manifest);
+    # every round is already durable.
+    seen_table: str | None = None
 
 
 def initial_state(
@@ -227,13 +237,18 @@ def initial_state(
     use_bloom: bool = False,
     expected_total_urls: int = 1_000_000,
     bloom_parts: int = 64,
+    seen_table: str | None = None,
 ) -> CrawlState:
     """Round-0 state from accepted submissions: every accepted root enters the
     frontier (depth 0) and the seen set, ordered by (priority DESC, submit
     FIFO) exactly like the task tracker queue.
 
     ``use_bloom`` sizes a partitioned bloom for ``expected_total_urls`` and
-    maintains it incrementally across rounds (delta build + bitwise OR)."""
+    maintains it incrementally across rounds (delta build + bitwise OR).
+    ``seen_table`` switches the durable seen set to the bucketed catalog
+    table (operators/seen_store.py) — created here with the seeds at round
+    0 (overwriting any stale table at the name; a surviving uncatalogued
+    one is re-registered first so the overwrite can commit)."""
     ordered = packed_seq(
         accepted.select(
             "url", "url_hash", "website_id", "host", "priority",
@@ -249,9 +264,21 @@ def initial_state(
     seen = frontier.select("url", "url_hash")
     import uuid
 
+    if seen_table is not None:
+        from . import seen_store
+
+        spark = accepted.sparkSession
+        # a fresh run OWNS the name: re-register surviving files (so the
+        # overwrite below can commit instead of LOCATION_ALREADY_EXISTS),
+        # then overwrite with round-0 state
+        seen_store.recover_seen_table(spark, seen_table)
+        seen_store.create_seen_table(seen, seen_table, round_no=0)
+        seen = seen_store.seen_view(spark, seen_table, 0)
     state = CrawlState(
-        round_no=0, frontier=frontier, seen=seen, next_seq=0, seen_delta=seen,
+        round_no=0, frontier=frontier, seen=seen, next_seq=0,
+        seen_delta=frontier.select("url", "url_hash"),
         run_id=uuid.uuid4().hex[:12],  # operational marker, not a data id
+        seen_table=seen_table,
     )
     if use_bloom:
         geom = seen_ops.PartitionedBloom.params_for(
@@ -540,10 +567,29 @@ def expand_round(
     except Exception:
         pass
     new_rows = numbered.select("url", "url_hash")
-    new_seen = state.seen.unionByName(new_rows)
-    new_delta = (
-        new_rows if state.seen_delta is None else state.seen_delta.unionByName(new_rows)
-    )
+    if state.seen_table is not None:
+        from . import seen_store
+
+        # durable append of the round's new urls, stamped with the round it
+        # belongs to — this runs BEFORE checkpoint() writes the round's
+        # .done marker, so a crash in between leaves rows a resume's
+        # round_no bound excludes (the re-run re-appends; duplicate rows
+        # are harmless to the left_anti).  One write job per round — the
+        # table-mode equivalent of the seen-delta parquet checkpoint write,
+        # paid here instead of in checkpoint().
+        spark = state.frontier.sparkSession
+        seen_store.append_seen(
+            new_rows, state.seen_table, round_no=state.round_no + 1
+        )
+        new_seen = seen_store.seen_view(spark, state.seen_table, state.round_no + 1)
+        new_delta = new_rows  # this round only (already durable; lineage)
+    else:
+        new_seen = state.seen.unionByName(new_rows)
+        new_delta = (
+            new_rows
+            if state.seen_delta is None
+            else state.seen_delta.unionByName(new_rows)
+        )
 
     bloom = state.bloom
     if bloom is not None:
@@ -565,6 +611,7 @@ def expand_round(
         bloom=bloom,
         seen_delta=new_delta,
         run_id=state.run_id,
+        seen_table=state.seen_table,
     )
     return next_state, fetched, image_urls
 
@@ -654,9 +701,18 @@ def checkpoint(state: CrawlState, ckpt_dir: str, metrics: dict | None = None) ->
         else spark.createDataFrame([], schema.SEEN)
     )
     state.frontier.write.mode("overwrite").parquet(os.path.join(rd, "frontier"))
-    delta.write.mode("overwrite").parquet(os.path.join(rd, "seen_delta"))
+    if state.seen_table is None:
+        delta.write.mode("overwrite").parquet(os.path.join(rd, "seen_delta"))
+        delta_tbl = "seen_delta"
+    else:
+        # the durable seen write already happened (expand_round's per-round
+        # table append, stamped with the round); record the table pointer so
+        # the loader reconstructs from it — the lineage manifest below still
+        # covers this round's appended rows
+        _establish_seen_table(ckpt_dir, state.seen_table)
+        delta_tbl = "seen_append"
     lineage = _lineage_manifest(state.frontier, state.round_no, "frontier").unionByName(
-        _lineage_manifest(delta, state.round_no, "seen_delta")
+        _lineage_manifest(delta, state.round_no, delta_tbl)
     )
     lineage.write.mode("overwrite").parquet(os.path.join(rd, "lineage"))
     spark.createDataFrame(
@@ -703,6 +759,36 @@ def _establish_run(ckpt_dir: str, run_id: str | None) -> str:
             f.write(run_id)
         os.replace(tmp, ptr)
     return run_id
+
+
+def _establish_seen_table(ckpt_dir: str, table: str) -> str:
+    """Pin the ckpt_dir's seen ground truth to one catalog table via the
+    _SEEN_TABLE pointer (the _RUN pattern): a mismatch means the dir's
+    rounds were committed against a DIFFERENT table — refuse rather than
+    resume with the wrong seen set."""
+    ptr = os.path.join(ckpt_dir, "_SEEN_TABLE")
+    if os.path.isfile(ptr):
+        with open(ptr) as f:
+            existing = f.read().strip()
+        if existing != table:
+            raise ValueError(
+                f"{ckpt_dir} was checkpointed against seen table {existing!r}, "
+                f"not {table!r} — refusing to mix seen ground truths."
+            )
+        return existing
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(table)
+    os.replace(tmp, ptr)
+    return table
+
+
+def _seen_table_of(ckpt_dir: str) -> str | None:
+    ptr = os.path.join(ckpt_dir, "_SEEN_TABLE")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        return f.read().strip() or None
 
 
 def _recover_compacting_delta(rd: str) -> None:
@@ -752,6 +838,14 @@ def compact_checkpoints(spark: SparkSession, ckpt_dir: str) -> int:
     latest = latest_round(ckpt_dir)
     if latest is None:
         raise FileNotFoundError(f"no completed round under {ckpt_dir}")
+    if _seen_table_of(ckpt_dir) is not None:
+        # table mode: the seen set already lives compact in ONE bucketed
+        # table (no per-round delta fan-in to fold) — compaction only trims
+        # the superseded round dirs (frontier/meta/lineage of older rounds)
+        for d in os.listdir(ckpt_dir):
+            if d.startswith("round_") and int(d.split("_")[1]) < latest:
+                shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)
+        return latest
     rd = os.path.join(ckpt_dir, f"round_{latest:05d}")
     _recover_compacting_delta(rd)
     state = load_checkpoint(spark, ckpt_dir, latest)  # union of all deltas
@@ -816,32 +910,34 @@ def load_checkpoint(
         and int(d.split("_")[1]) <= round_no
         and os.path.exists(os.path.join(ckpt_dir, d, ".done"))
     )
-    # heal torn compactions FIRST — adoption writes the `.compacted` marker,
-    # which must be visible before the union floor is computed below
-    for r in done_rounds:
-        _recover_compacting_delta(os.path.join(ckpt_dir, f"round_{r:05d}"))
-    # a `.compacted` round's delta already folds in everything before it;
-    # older rounds (normally deleted — a crash mid-delete can strand some)
-    # must NOT be unioned again
-    compacted = [
-        r
-        for r in done_rounds
-        if os.path.isfile(os.path.join(ckpt_dir, f"round_{r:05d}", ".compacted"))
-    ]
-    floor_round = max(compacted) if compacted else -1
-    delta_dirs = []
-    for r in done_rounds:
-        if r < floor_round:
-            continue
-        rdir = os.path.join(ckpt_dir, f"round_{r:05d}")
-        delta = os.path.join(rdir, "seen_delta")
-        if not os.path.isdir(delta):
-            raise FileNotFoundError(
-                f"round {r} under {ckpt_dir} is .done but has no seen_delta "
-                "(pre-delta-format checkpoint or torn compaction) — resuming "
-                "would silently drop seen URLs."
-            )
-        delta_dirs.append(delta)
+    seen_table = _seen_table_of(ckpt_dir)
+    if seen_table is None:
+        # heal torn compactions FIRST — adoption writes the `.compacted`
+        # marker, which must be visible before the union floor below
+        for r in done_rounds:
+            _recover_compacting_delta(os.path.join(ckpt_dir, f"round_{r:05d}"))
+        # a `.compacted` round's delta already folds in everything before it;
+        # older rounds (normally deleted — a crash mid-delete can strand
+        # some) must NOT be unioned again
+        compacted = [
+            r
+            for r in done_rounds
+            if os.path.isfile(os.path.join(ckpt_dir, f"round_{r:05d}", ".compacted"))
+        ]
+        floor_round = max(compacted) if compacted else -1
+        delta_dirs = []
+        for r in done_rounds:
+            if r < floor_round:
+                continue
+            rdir = os.path.join(ckpt_dir, f"round_{r:05d}")
+            delta = os.path.join(rdir, "seen_delta")
+            if not os.path.isdir(delta):
+                raise FileNotFoundError(
+                    f"round {r} under {ckpt_dir} is .done but has no seen_delta "
+                    "(pre-delta-format checkpoint or torn compaction) — resuming "
+                    "would silently drop seen URLs."
+                )
+            delta_dirs.append(delta)
     metas = spark.read.parquet(
         *[os.path.join(ckpt_dir, f"round_{r:05d}", "meta") for r in done_rounds]
     ).collect()
@@ -851,7 +947,21 @@ def load_checkpoint(
             f"rounds {alien} under {ckpt_dir} belong to a different run than "
             f"_RUN={run_id!r} (reused ckpt_dir) — refusing to union their deltas."
         )
-    if delta_dirs:
+    if seen_table is not None:
+        # table mode: ground truth is the bucketed catalog table, bounded at
+        # the loaded round — rows a torn round appended past the bound are
+        # excluded by the filter (file-level prune: round_no is constant per
+        # appended file).  Re-register surviving files after session loss.
+        from . import seen_store
+
+        if not seen_store.recover_seen_table(spark, seen_table):
+            raise FileNotFoundError(
+                f"{ckpt_dir} points at seen table {seen_table!r} but neither a "
+                "catalog entry nor surviving files exist — resuming would "
+                "re-admit every URL ever seen."
+            )
+        seen = seen_store.seen_view(spark, seen_table, round_no)
+    elif delta_dirs:
         seen = spark.read.schema(schema.SEEN).parquet(*delta_dirs)
     else:
         seen = spark.createDataFrame([], schema.SEEN)
@@ -862,6 +972,7 @@ def load_checkpoint(
         next_seq=meta["next_seq"],
         seen_delta=None,  # everything durable now; next delta starts empty
         run_id=run_id,
+        seen_table=seen_table,
     )
     if use_bloom:
         # the bloom is derived state — rebuild from the durable seen table
