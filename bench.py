@@ -59,9 +59,10 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
     ann_store.ensure_text_lsh_index(spark, sf_dir)
     ann_store.ensure_shingle_index(spark, sf_dir)
     ann_store.ensure_simhash_index(spark, sf_dir)
-    from od_database_spark.queries import _ensure_scaled_lsh
+    from od_database_spark.queries import _ensure_scaled_ivf, _ensure_scaled_lsh
 
     _ensure_scaled_lsh(spark, sf_dir)
+    _ensure_scaled_ivf(spark, sf_dir)
     log(f"ann index builds (untimed ingest): {time.time() - t0:.2f}s")
 
     times: dict[str, float] = {}
@@ -98,7 +99,10 @@ SF10X_QUERIES = [
     "random_row", "join_deleted_default", "filtered_search",
     "prefix_semi_join", "trigram_rank", "highlight",
     # scaled-geometry / trained-quantizer index views
-    "embedding_lsh_scaled", "ivf_cell_stats",
+    "embedding_lsh_scaled", "ivf_cell_stats", "ivf_cell_stats_scaled",
+    "embedding_neardup_scaled",
+    # crawl-operator oracle rows over star-schema-derived inputs
+    "image_phash_neardup", "submit_dedup",
 ]
 SF10X_REPLICAS = 10
 
@@ -231,9 +235,10 @@ def run_sf10x(spark, src_dir: str) -> dict:
     ann_store.ensure_ivf_index(spark, sf10x_dir)
     ann_store.ensure_text_lsh_index(spark, sf10x_dir)
     ann_store.ensure_shingle_index(spark, sf10x_dir)
-    from od_database_spark.queries import _ensure_scaled_lsh
+    from od_database_spark.queries import _ensure_scaled_ivf, _ensure_scaled_lsh
 
     _ensure_scaled_lsh(spark, sf10x_dir)
+    _ensure_scaled_ivf(spark, sf10x_dir)
     index_build_s = round(time.time() - t0, 2)
     log(f"sf10x ann index build: {index_build_s}s")
     times: dict[str, float] = {}
@@ -264,6 +269,7 @@ def run_sf10x(spark, src_dir: str) -> dict:
         "total_sec": round(sum(times.values()), 2),
     }
     result["scaled_geometry"] = run_scaled_geometry(spark, sf10x_dir)
+    result["scaled_ivf"] = run_scaled_ivf(spark, sf10x_dir)
     return result
 
 
@@ -357,6 +363,63 @@ def run_scaled_geometry(spark, sf10x_dir: str) -> dict:
     return out
 
 
+def run_scaled_ivf(spark, sf10x_dir: str) -> dict:
+    """Scaled-K IVF anchor: the coarse quantizer sized to the corpus
+    (k ≈ √N) vs the oracle-parity default K=16, both as FRESH geometry-keyed
+    builds.  What scales: per-cell inverted lists shrink ~K/16×, so an
+    nprobe probe reads nprobe/K of the index (cells_read_fraction) while
+    probe ranking stays a K-row broadcast — probe cost and per-cell scan
+    balance at k≈√N.  DPP firing on the probe is plan-checked."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import ann_store
+    from od_database_spark.queries import IVF_K, IVF_NPROBE, ivf_probe, t as load
+
+    e = load(spark, sf10x_dir, "embeddings")
+    n = e.count()
+    out = {"n_vectors": n}
+    for label, k in (("default", None), ("scaled", int(math.isqrt(n)))):
+        cents_tbl, cells_tbl = ann_store.ivf_table_names(sf10x_dir, k)
+        for tbl in (cents_tbl, cells_tbl):
+            ann_store._drop_stale(spark, tbl)
+            ann_store._forget(tbl)
+        t0 = time.time()
+        cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf10x_dir, k=k)
+        build_s = round(time.time() - t0, 2)
+        cents, cells = spark.table(cents_tbl), spark.table(cells_tbl)
+        occ = (
+            cells.groupBy("cell").count()
+            .agg(F.max("count").alias("mx"), F.avg("count").alias("av"), F.count("*").alias("nc"))
+            .collect()[0]
+        )
+        qrow = e.filter(F.col("vec_id") == 0)
+        probe = ivf_probe(qrow, cents, cells, IVF_NPROBE)
+        dpp = "dynamicpruning" in probe._jdf.queryExecution().toString().lower()
+        trials = []
+        for _ in range(3):
+            t1 = time.time()
+            ivf_probe(qrow, cents, cells, IVF_NPROBE).write.mode("overwrite").format(
+                "noop"
+            ).save()
+            trials.append(time.time() - t1)
+        kk = IVF_K if k is None else k
+        out[label] = {
+            "k": kk,
+            "index_build_sec": build_s,
+            "live_cells": int(occ["nc"]),
+            "max_cell": int(occ["mx"]),
+            "avg_cell": round(float(occ["av"]), 1),
+            "cells_read_fraction": round(IVF_NPROBE / kk, 4),
+            "dpp_fires": bool(dpp),
+            "probe_sec": round(min(trials), 3),
+            "probe_trials_sec": [round(x, 2) for x in trials],
+        }
+        log(f"sf10x ivf {label}: {out[label]}")
+    return out
+
+
 def run_crawl(spark, n_hosts: int) -> dict:
     """Full pipeline: submit → BFS to exhaustion → image fetch/decode.
     World generation and caching are setup (untimed); the timed window is
@@ -437,18 +500,47 @@ def run_crawl(spark, n_hosts: int) -> dict:
     }
 
 
-def run_frontier_throughput(spark, n_urls: int) -> dict:
+def _shuffle_write_bytes(spark) -> int | None:
+    """Total shuffle-write bytes across completed stages via the UI REST API
+    (the round-2 measurement method; None when the UI is disabled).  The
+    per-URL shuffle volume is the cluster-relevant frontier metric — it is
+    what crosses the network per scheduling round at 1000 executors, and it
+    is independent of this VM's memory-bus ceiling."""
+    import json as _json
+    import urllib.request
+
+    base = spark.sparkContext.uiWebUrl
+    if not base:
+        return None
+    app = spark.sparkContext.applicationId
+    try:
+        with urllib.request.urlopen(
+            f"{base}/api/v1/applications/{app}/stages?status=complete", timeout=10
+        ) as r:
+            stages = _json.loads(r.read())
+        return sum(int(s.get("shuffleWriteBytes", 0)) for s in stages)
+    except Exception:
+        return None
+
+
+def run_frontier_throughput(spark, n_urls: int, seen_mode: str = "df") -> dict:
     """Single-pass frontier-expansion throughput on a LARGE synthetic
     frontier (the 10^10-frontier stand-in): one politeness-ranked, link-
     exploded, seen-filtered, densely-numbered expansion over n_urls pending
     URLs against a seen set of the same order.  One pass amortizes per-round
     fixed costs, so this measures operator throughput, which is what scales
     with executors — the end-to-end mini-crawl (run_crawl) measures the
-    round machinery instead."""
+    round machinery instead.
+
+    ``seen_mode``: 'df' anti-joins a plain seen DataFrame (both sides
+    shuffle); 'table' anti-joins the BUCKETED seen_store table — the seen
+    side reads co-located (zero exchange), only the candidates hash to the
+    bucket layout.  Both modes report shuffle-write B/URL when the UI is on."""
     from pyspark.sql import functions as F
 
     from od_database_spark.operators import frontier as fr
     from od_database_spark.operators import seen as seen_ops
+    from od_database_spark.operators import seen_store as SS
 
     par = spark.sparkContext.defaultParallelism
     n_hosts = max(n_urls // 200, 16)
@@ -477,12 +569,20 @@ def run_frontier_throughput(spark, n_urls: int) -> dict:
         .select("url", F.xxhash64("url").alias("url_hash"))
         .localCheckpoint(eager=True)
     )
+    seen_table = None
+    if seen_mode == "table":
+        # untimed setup: the durable bucketed table is the INGEST artifact
+        # (built once, grown by appends); the trial measures the query side
+        seen_table = "seen_bench_frontier"
+        SS.recover_seen_table(spark, seen_table)
+        SS.create_seen_table(seen, seen_table, round_no=0)
     robots = spark.createDataFrame(
         [(f"h{i}.bench.example", 1.0, []) for i in range(min(n_hosts, 100000))],
         "host string, crawl_delay double, disallow_prefixes array<string>",
     )
 
-    def one_trial() -> tuple[float, int]:
+    def one_trial() -> tuple[float, int, int | None]:
+        sb0 = _shuffle_write_bytes(spark)
         t0 = time.time()
         due, _carry, cutoffs = fr.politeness_select(frontier, robots, round_seconds=10**9)
         kids = due.select(
@@ -493,29 +593,128 @@ def run_frontier_throughput(spark, n_urls: int) -> dict:
                 F.transform(F.sequence(F.lit(0), F.lit(3)), lambda i: F.concat(F.col("url"), F.lit("sub"), i, F.lit("/")))
             ).alias("link_idx", "canon_url"),
         ).withColumn("url_hash", F.xxhash64("canon_url"))
-        unseen = seen_ops.filter_unseen(kids, seen)
+        if seen_table is not None:
+            unseen = SS.filter_unseen_bucketed(spark, kids, seen_table)
+        else:
+            unseen = seen_ops.filter_unseen(kids, seen)
         numbered = fr.packed_seq(
             unseen, [F.desc("priority"), F.asc("parent_seq"), F.asc("link_idx")], round_no=1
         )
         n_new = numbered.count()  # cheap: counts the checkpointed blocks
         el = time.time() - t0
+        sb1 = _shuffle_write_bytes(spark)
         numbered.unpersist()
         cutoffs.unpersist()
-        return el, n_new
+        sb = None if sb0 is None or sb1 is None else sb1 - sb0
+        return el, n_new, sb
 
     # best-of-3: this sandbox VM shows heavy CPU-steal noise (single runs
-    # swing >50%), so the steady-state capability is the minimum
-    trials = [one_trial() for _ in range(3)]
-    el, n_new = min(trials)
+    # swing >50%), so the steady-state capability is the minimum.
+    # AUTO-broadcast off for the trials: at sandbox scale the 1M-row seen
+    # side fits the 64MB broadcast threshold, which a 10^10-row seen set
+    # never will — the B/URL number must measure the non-broadcast regime
+    # (explicit F.broadcast hints — politeness cutoffs, robots — still fire;
+    # only the anti-join's auto choice is pinned)
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        trials = [one_trial() for _ in range(3)]
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+    el, n_new, shuffle_b = min(trials, key=lambda t: t[0])
     expanded = n_urls + 4 * n_urls  # rank inputs + exploded children
-    return {
+    out = {
         "n_urls": n_urls,
+        "seen_mode": seen_mode,
         "children": 4 * n_urls,
         "new_enqueued": n_new,
         "sec": round(el, 2),
-        "trials_sec": [round(t, 2) for t, _ in trials],
+        "trials_sec": [round(t, 2) for t, _n, _s in trials],
         "frontier_urls_per_sec": round(expanded / el, 1),
     }
+    if shuffle_b is not None:
+        # shuffle bytes are plan-determined (identical across trials up to
+        # AQE coalescing); B/URL uses the frontier size as denominator, the
+        # round-2 convention (BENCH.md 49.7→32.8)
+        out["shuffle_write_bytes"] = shuffle_b
+        out["shuffle_b_per_url"] = round(shuffle_b / n_urls, 1)
+    if seen_table is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
+    return out
+
+
+def run_seen_scale(spark, n_cand: int = 500_000, seen_sizes=(2_000_000, 8_000_000)) -> dict:
+    """THE seen-store scaling evidence: anti-join a FIXED candidate batch
+    against growing seen sets in both layouts.  At 10^10 URLs the seen set
+    is orders of magnitude bigger than a round's candidate batch, so what
+    matters is whose bytes cross the wire: the plain-DataFrame anti-join
+    shuffles BOTH sides (per-round network cost grows with the whole seen
+    set), the bucketed seen_store table shuffles only the candidates (seen
+    side reads co-located — flat cost no matter how big the history).
+    Auto-broadcast is off: a 10^10-row seen side can never broadcast, so the
+    non-broadcast plan is the regime under test."""
+    from pyspark.sql import functions as F
+
+    from od_database_spark.operators import seen as seen_ops
+    from od_database_spark.operators import seen_store as SS
+
+    par = spark.sparkContext.defaultParallelism
+    cand = (
+        spark.range(0, n_cand, 1, par * 4)
+        .select(
+            F.format_string("http://h%d.sc.example/d%d/", F.pmod("id", F.lit(5000)), F.col("id")).alias("canon_url")
+        )
+        .select("canon_url", F.xxhash64("canon_url").alias("url_hash"))
+        .localCheckpoint(eager=True)
+    )
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    out = {"n_candidates": n_cand, "sizes": {}}
+    try:
+        for n_seen in seen_sizes:
+            # seen covers half the candidates plus (n_seen - n_cand/2) other urls
+            seen = (
+                spark.range(0, n_seen * 2, 2, par * 4)
+                .select(
+                    F.format_string("http://h%d.sc.example/d%d/", F.pmod("id", F.lit(5000)), F.col("id")).alias("url")
+                )
+                .select("url", F.xxhash64("url").alias("url_hash"))
+                .localCheckpoint(eager=True)
+            )
+            tbl = "seen_bench_scale"
+            SS.recover_seen_table(spark, tbl)
+            SS.create_seen_table(seen, tbl, round_no=0)
+            row = {}
+            for label in ("df", "table"):
+                best, bytes_best, n_out = None, None, None
+                for _ in range(3):
+                    sb0 = _shuffle_write_bytes(spark)
+                    t0 = time.time()
+                    if label == "df":
+                        unseen = seen_ops.filter_unseen(cand, seen)
+                    else:
+                        unseen = SS.filter_unseen_bucketed(spark, cand, tbl)
+                    n_out = unseen.count()
+                    el = time.time() - t0
+                    sb1 = _shuffle_write_bytes(spark)
+                    if best is None or el < best:
+                        best, bytes_best = el, (None if sb0 is None else sb1 - sb0)
+                row[label] = {
+                    "sec": round(best, 2),
+                    "unseen": n_out,
+                    "shuffle_write_bytes": bytes_best,
+                    "shuffle_b_per_candidate": (
+                        None if bytes_best is None else round(bytes_best / n_cand, 1)
+                    ),
+                }
+                log(f"seen-scale {n_seen} {label}: {row[label]}")
+            assert row["df"]["unseen"] == row["table"]["unseen"]  # exactness
+            out["sizes"][str(n_seen)] = row
+            seen.unpersist()
+            spark.sql(f"DROP TABLE IF EXISTS {tbl}")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    return out
 
 
 def run_fetch_throughput(spark, n_images: int) -> dict:
@@ -566,21 +765,29 @@ def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--crawl", action="store_true", help="crawl-only, one JSON line")
     ap.add_argument("--frontier", action="store_true", help="frontier-throughput only")
+    ap.add_argument("--seenscale", action="store_true",
+                    help="seen-set anti-join shuffle scaling (df vs bucketed table)")
     ap.add_argument("--fetch", action="store_true", help="fetch/decode-throughput only")
     ap.add_argument("--sf10x", action="store_true", help="10x-corpus query anchor only")
     ap.add_argument("--images", type=int, default=int(os.environ.get("ODDB_BENCH_IMAGES", "40000")))
     ap.add_argument("--cpus", type=int, default=CPUS)
     ap.add_argument("--hosts", type=int, default=BENCH_HOSTS)
     ap.add_argument("--urls", type=int, default=int(os.environ.get("ODDB_BENCH_URLS", "2000000")))
+    ap.add_argument("--seen-mode", choices=["df", "table"], default="df",
+                    help="frontier bench: seen side as plain DataFrame or bucketed table")
     ap.add_argument("--no-scaling", action="store_true")
     args = ap.parse_args()
 
     from od_database_spark.session import get_spark
 
-    if args.crawl or args.frontier or args.fetch or args.sf10x:
+    if args.crawl or args.frontier or args.fetch or args.sf10x or args.seenscale:
+        conf = {"spark.ui.showConsoleProgress": "false"}
+        if args.frontier or args.seenscale:
+            # the UI REST API is the shuffle-write-bytes source (B/URL)
+            conf["spark.ui.enabled"] = "true"
         spark = get_spark(
             app_name=f"oddb-bench-sub-{args.cpus}", cpus=args.cpus,
-            extra_conf={"spark.ui.showConsoleProgress": "false"},
+            extra_conf=conf,
         )
         if args.crawl:
             print(json.dumps(run_crawl(spark, args.hosts)), flush=True)
@@ -588,8 +795,13 @@ def main() -> None:
             print(json.dumps(run_fetch_throughput(spark, args.images)), flush=True)
         elif args.sf10x:
             print(json.dumps(run_sf10x(spark, SF_DIR)), flush=True)
+        elif args.seenscale:
+            print(json.dumps(run_seen_scale(spark)), flush=True)
         else:
-            print(json.dumps(run_frontier_throughput(spark, args.urls)), flush=True)
+            print(
+                json.dumps(run_frontier_throughput(spark, args.urls, args.seen_mode)),
+                flush=True,
+            )
         return
 
     spark = get_spark(
@@ -641,6 +853,13 @@ def main() -> None:
             "verify_failures": hi["verify_failures"],
             "detail": crawl,
         }
+        log("--- frontier seen-table mode (shuffle B/URL) ---")
+        ftbl = bench_subprocess(
+            "--frontier", FRONTIER_SCALING_CPUS[1],
+            ["--urls", str(args.urls), "--seen-mode", "table"],
+        )
+        log("--- seen-set anti-join shuffle scaling (df vs bucketed table) ---")
+        result["seen_scale"] = bench_subprocess("--seenscale", FRONTIER_SCALING_CPUS[1], [])
         result["frontier"] = {
             "n_urls": args.urls,
             f"frontier_urls_per_sec_local{FRONTIER_SCALING_CPUS[0]}": flo["frontier_urls_per_sec"],
@@ -648,6 +867,12 @@ def main() -> None:
             "frontier_scaling_efficiency": round(
                 fhi["frontier_urls_per_sec"] / (ffac * flo["frontier_urls_per_sec"]), 3
             ),
+            # the cluster-relevant number: per-URL shuffle volume of the full
+            # expansion pass, df-mode (both anti-join sides shuffle) vs the
+            # bucketed seen table (seen side co-located, zero exchange)
+            "shuffle_b_per_url_df": fhi.get("shuffle_b_per_url"),
+            "shuffle_b_per_url_table": ftbl.get("shuffle_b_per_url"),
+            "seen_table_detail": ftbl,
             "detail": front,
         }
         dlo, dhi = fetch[str(FRONTIER_SCALING_CPUS[0])], fetch[str(FRONTIER_SCALING_CPUS[1])]

@@ -524,17 +524,36 @@ def append_ivf_vectors(delta: DataFrame, cents_name: str, cells_name: str) -> No
     cells.unpersist()
 
 
-def ensure_ivf_index(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
-    """Idempotent IVF build; returns (centroids_table, cells_table)."""
+def ivf_table_names(sf_dir: str, k: int | None = None) -> tuple[str, str]:
+    """Deterministic (centroids, cells) catalog names for this (source, K) —
+    non-default coarse-quantizer sizes get their own geometry-keyed tables,
+    the ensure_lsh_index pattern."""
     key = _key(sf_dir)
-    cents_name, cells_name = f"ivf_cents_{key}", f"ivf_cells_{key}"
-    sig = _source_sig(spark, sf_dir, "embeddings")
+    suffix = "" if k is None else f"_k{k}"
+    return f"ivf_cents_{key}{suffix}", f"ivf_cells_{key}{suffix}"
+
+
+def ensure_ivf_index(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> tuple[str, str]:
+    """Idempotent IVF build; returns (centroids_table, cells_table).
+    ``k`` sizes the coarse quantizer (k ≈ √N balances probe cost O(k)
+    against per-cell scan O(N·nprobe/k)); the default (IVF_K) serves the
+    oracle-parity queries, a scaled k gets its own geometry-keyed tables."""
+    cents_name, cells_name = ivf_table_names(sf_dir, k)
+    if k is None:
+        sig = _source_sig(spark, sf_dir, "embeddings")
+    else:
+        sig = _source_sig(spark, sf_dir, "embeddings", params=f"ivfk:{k}")
     if _VALIDATED.get(_memo_key(spark, cells_name)) == sig:
         return cents_name, cells_name
     if not (_table_ok(spark, cents_name, sig) and _table_ok(spark, cells_name, sig)):
         _drop_stale(spark, cents_name)
         _drop_stale(spark, cells_name)
-        build_ivf_tables(t(spark, sf_dir, "embeddings"), cents_name, cells_name)
+        build_ivf_tables(
+            t(spark, sf_dir, "embeddings"), cents_name, cells_name,
+            k=IVF_K if k is None else k,
+        )
         _write_meta(spark, cents_name, sig, spark.table(cents_name).count())
         _write_meta(spark, cells_name, sig, spark.table(cells_name).count())
     _VALIDATED[_memo_key(spark, cells_name)] = sig

@@ -955,28 +955,35 @@ def _simhash_fps(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_frames(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+def _ivf_frames(
+    spark: SparkSession, sf_dir: str, k: int | None = None
+) -> tuple[DataFrame, DataFrame]:
     """(centroids, cells) from the persisted IVF index, inline deterministic
     build (same selection + assignment expressions) as the no-store
-    fallback."""
+    fallback.  ``k`` selects a non-default (geometry-keyed) coarse-quantizer
+    size."""
     from .operators import ann_store
+
+    tag = "" if k is None else f"_k{k}"
 
     def fallback():
         # the inline build TRAINS the quantizer (eager Lloyd jobs) — memoize
         # the frames per (application, sf_dir) so degraded mode pays that
         # once, not on every query invocation
-        key = _failure_key(spark, "_ivf_fallback_frames", sf_dir)
+        key = _failure_key(spark, f"_ivf_fallback_frames{tag}", sf_dir)
         if key not in _IVF_FALLBACK:
-            _IVF_FALLBACK[key] = ann_store.ivf_frames(t(spark, sf_dir, "embeddings"))
+            _IVF_FALLBACK[key] = ann_store.ivf_frames(
+                t(spark, sf_dir, "embeddings"), k=IVF_K if k is None else k
+            )
         return _IVF_FALLBACK[key]
 
-    if _failure_key(spark, "ensure_ivf_index", sf_dir) in _STORE_FAILED:
+    if _failure_key(spark, f"ensure_ivf_index{tag}", sf_dir) in _STORE_FAILED:
         return fallback()
     try:
-        cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir)
+        cents_tbl, cells_tbl = ann_store.ensure_ivf_index(spark, sf_dir, k=k)
         return spark.table(cents_tbl), spark.table(cells_tbl)
     except _store_env_errors():
-        _STORE_FAILED.add(_failure_key(spark, "ensure_ivf_index", sf_dir))
+        _STORE_FAILED.add(_failure_key(spark, f"ensure_ivf_index{tag}", sf_dir))
         _warn_store_fallback("ivf")
         return fallback()
 
@@ -1816,15 +1823,25 @@ def q_embedding_ivf_search(spark, sf_dir):
     IVF_NPROBE cells, then probes the cells table — inverted lists
     PARTITIONED BY cell, so only nprobe/K of the index is read and the
     candidate embeddings come straight off the index with no join back."""
-    from .operators import ann_store
-
     e = t(spark, sf_dir, "embeddings")
     cents, cells = _ivf_frames(spark, sf_dir)
-    qrow = e.filter(F.col("vec_id") == 0)
-    qcells = ann_store.query_cells(qrow, cents, IVF_NPROBE)
+    return ivf_probe(e.filter(F.col("vec_id") == 0), cents, cells, IVF_NPROBE)
+
+
+def ivf_probe(
+    qrow: DataFrame, cents: DataFrame, cells: DataFrame, nprobe: int = IVF_NPROBE,
+    exclude_qid: int = 0, topk: int = 5,
+) -> DataFrame:
+    """The IVF query shape, shared by the oracle query and the bench's
+    scaled-K anchor: rank the query's nprobe cells over the K-row centroid
+    table (broadcast), DPP-prune the cells table to those partitions, cosine
+    over the candidates."""
+    from .operators import ann_store
+
+    qcells = ann_store.query_cells(qrow, cents, nprobe)
     qv = qrow.select(F.col("embedding").alias("qe"))
     cands = (
-        cells.filter(F.col("vec_id") != 0)
+        cells.filter(F.col("vec_id") != exclude_qid)
         .join(F.broadcast(qcells), on=F.col("cell") == F.col("qc"))
         .crossJoin(F.broadcast(qv))
     )
@@ -1846,7 +1863,7 @@ def q_embedding_ivf_search(spark, sf_dir):
             F.round(dot / (norm(F.col("embedding")) * norm(F.col("qe"))), 4).alias("cos"),
         )
         .orderBy(F.desc("cos"), F.asc("vec_id"))
-        .limit(5)
+        .limit(topk)
     )
 
 
@@ -1860,16 +1877,16 @@ def _sql_ivf_l2(emb_expr: str, cent_expr: str) -> str:
     )
 
 
-def _sql_ivf_cells_ctes() -> list:
+def _sql_ivf_cells_ctes(k: int | None = None) -> list:
     """Shared DuckDB CTE chain ending in ``cells(vec_id, embedding, cell)``:
     md5-sample seeds + IVF_LLOYD unrolled Lloyd iterations (assignment →
     per-cell per-position avg rounded to 6dp → list rebuild), then the
     final assignment — each CTE mirrors one DataFrame step in
-    ann_store.ivf_frames."""
+    ann_store.ivf_frames.  ``k`` replays a non-default quantizer size."""
     ctes = [
         f"""c0 AS (
   SELECT vec_id AS cent_id, embedding AS cent FROM embeddings
-  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K})"""
+  ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT {IVF_K if k is None else k})"""
     ]
     for it in range(IVF_LLOYD):
         ctes.append(
@@ -1958,12 +1975,40 @@ def q_ivf_cell_stats(spark, sf_dir):
     )
 
 
-def _sql_ivf_cell_stats() -> str:
-    ctes = _sql_ivf_cells_ctes()
+def _sql_ivf_cell_stats(k: int | None = None) -> str:
+    ctes = _sql_ivf_cells_ctes(k)
     return (
         "WITH " + ",\n".join(ctes)
         + "\nSELECT CAST(cell AS BIGINT) AS cell, CAST(count(*) AS BIGINT) AS cnt"
         + "\nFROM cells GROUP BY cell ORDER BY cell\n"
+    )
+
+
+IVF_SCALED_K = 64  # the k≈√N scale path at bench SFs (k is a PARAMETER; the
+# 10× anchor sizes it to its corpus at runtime — this fixed value keeps the
+# oracle replay a finite CTE chain)
+
+
+def _ensure_scaled_ivf(spark: SparkSession, sf_dir: str):
+    """Named wrapper (the _indexed failure memo keys on __name__) for the
+    geometry-keyed scaled-K IVF tables."""
+    from .operators import ann_store
+
+    return ann_store.ensure_ivf_index(spark, sf_dir, k=IVF_SCALED_K)
+
+
+def q_ivf_cell_stats_scaled(spark, sf_dir):
+    """Cell occupancy under the SCALED coarse quantizer (K=64 vs the default
+    16): the k ≈ √N sizing rule in action — per-cell inverted lists shrink
+    ~K/16×, so an nprobe probe reads proportionally less data while probe
+    ranking stays O(K) rows.  Same trained-Lloyd build, geometry-keyed
+    tables; the DuckDB oracle replays the k-means at K=64."""
+    _cents, cells = _ivf_frames(spark, sf_dir, k=IVF_SCALED_K)
+    return (
+        cells.groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .orderBy("cell")
+        .select(F.col("cell").cast("long").alias("cell"), "cnt")
     )
 
 
@@ -2002,6 +2047,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "embedding_lsh_ann": (q_embedding_lsh_ann, _sql_embedding_lsh_ann()),
     "embedding_lsh_scaled": (q_embedding_lsh_scaled, _sql_embedding_lsh_scaled()),
     "ivf_cell_stats": (q_ivf_cell_stats, _sql_ivf_cell_stats()),
+    "ivf_cell_stats_scaled": (q_ivf_cell_stats_scaled, _sql_ivf_cell_stats(IVF_SCALED_K)),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
     "embedding_ivf_search": (q_embedding_ivf_search, _sql_embedding_ivf()),
     "simhash": (q_simhash, _sql_simhash()),
