@@ -186,6 +186,36 @@ def match_expr(q: str, fields: list[str], match_all: bool) -> Column:
     return out
 
 
+def _search_matches(
+    files: DataFrame,
+    q: str,
+    extensions: list[str] | None = None,
+    size_min: int = 0,
+    size_max: int = 0,
+    match_all: bool = False,
+    fields: list[str] | None = None,
+    date_min: int = 0,
+    date_max: int = 0,
+) -> DataFrame:
+    """The filter+match frame BEFORE score/sort/pagination — what
+    ``hits.total`` counts (views.py:218-219)."""
+    fields = fields or ["path", "name", "name.nGram"]
+    exts = [e.strip().strip(".").lower() for e in (extensions or []) if e.strip()]
+
+    df = files
+    if exts:  # F2
+        df = df.filter(F.col("ext").isin(exts))
+    if size_min > 0:  # F3
+        df = df.filter(F.col("size") >= size_min)
+    if size_max:
+        df = df.filter(F.col("size") <= size_max)
+    if date_min > 0:  # F4
+        df = df.filter(F.unix_timestamp("mtime") >= date_min)
+    if date_max:
+        df = df.filter(F.unix_timestamp("mtime") <= date_max)
+    return df.filter(match_expr(q, fields, match_all))
+
+
 def search(
     files: DataFrame,
     q: str,
@@ -204,22 +234,11 @@ def search(
     search/search.py:191-241 query construction)."""
     if len(q) < 3:  # views.py:201
         return files.limit(0)
+    df = _search_matches(
+        files, q, extensions=extensions, size_min=size_min, size_max=size_max,
+        match_all=match_all, fields=fields, date_min=date_min, date_max=date_max,
+    )
     fields = fields or ["path", "name", "name.nGram"]
-    exts = [e.strip().strip(".").lower() for e in (extensions or []) if e.strip()]
-
-    df = files
-    if exts:  # F2
-        df = df.filter(F.col("ext").isin(exts))
-    if size_min > 0:  # F3
-        df = df.filter(F.col("size") >= size_min)
-    if size_max:
-        df = df.filter(F.col("size") <= size_max)
-    if date_min > 0:  # F4
-        df = df.filter(F.unix_timestamp("mtime") >= date_min)
-    if date_max:
-        df = df.filter(F.unix_timestamp("mtime") <= date_max)
-
-    df = df.filter(match_expr(q, fields, match_all))
     df = df.withColumn("score", score_expr(q, fields))
 
     order = [F.desc("score")] if sort_order == "score" else _sort_cols(sort_order)
@@ -231,6 +250,94 @@ def search(
         .filter((F.col("rn") > start) & (F.col("rn") <= start + per_page))
         .drop("rn")
     )
+
+
+# SearchLogEntry shape (init_script.sql:28-39; writer database.py:302-313):
+# `took` is milliseconds, `extensions` the raw comma list, `blocked` the
+# filter.py gate outcome, `results` the total hit count.
+QUERY_LOG_SCHEMA = (
+    "search_time timestamp, remote_addr string, forwarded_for string, "
+    "query string, extensions string, page int, blocked boolean, "
+    "results long, took_ms double"
+)
+
+
+def is_blocked_query(q: str, blocked_terms) -> bool:
+    """The query blocklist gate (search/filter.py:20-31): ascii-fold +
+    lowercase + whitespace-split + strip quote/slash chars + token-in-set.
+    Driver-side pure Python — it gates ONE query string, the one place
+    row-at-a-time is the right altitude."""
+    from ..functions.fold import fold_ascii_py
+
+    blocked = {t.lower() for t in blocked_terms}
+    for tok in fold_ascii_py(q).lower().split():
+        if tok.strip("\"'/\\") in blocked:
+            return True
+    return False
+
+
+def search_and_log(
+    spark,
+    files: DataFrame,
+    log_dir: str,
+    q: str,
+    blocked_terms=(),
+    remote_addr: str = "",
+    forwarded_for: str = "",
+    page: int = 0,
+    **kwargs,
+) -> DataFrame:
+    """The full /search entry point INCLUDING the reference's search logging
+    (views.py:211-227 + database.py:302-313): gate the query against the
+    blocklist, run the search, and append exactly one SearchLogEntry row —
+    query, extensions, page, blocked flag, total hit count, wall ms — to the
+    append-only ``query_log`` parquet dir (the A9 meta-stats input).  A
+    blocked query logs blocked=True with zero results and returns no rows,
+    exactly the InvalidQueryException branch.
+
+    The total-hits count is an action (the reference's hits.total is too);
+    the returned page DataFrame stays lazy."""
+    import time as _time
+
+    t0 = _time.time()
+    blocked = bool(blocked_terms) and is_blocked_query(q, blocked_terms)
+    if blocked:
+        results, out = 0, files.limit(0)
+    else:
+        out = search(files, q, page=page, **kwargs)
+        # total hits = the match count BEFORE pagination (hits.total,
+        # views.py:218-219) — no window, no cap
+        match_kw = {
+            k: v for k, v in kwargs.items()
+            if k in ("extensions", "size_min", "size_max", "match_all",
+                     "fields", "date_min", "date_max")
+        }
+        results = 0 if len(q) < 3 else _search_matches(files, q, **match_kw).count()
+    took_ms = (_time.time() - t0) * 1000.0
+    exts = ",".join(kwargs.get("extensions") or [])
+    row = [(remote_addr, forwarded_for, q, exts, int(page), blocked,
+            int(results), float(took_ms))]
+    (
+        spark.createDataFrame(
+            row,
+            "remote_addr string, forwarded_for string, query string, "
+            "extensions string, page int, blocked boolean, results long, "
+            "took_ms double",
+        )
+        .withColumn("search_time", F.current_timestamp())
+        .select(
+            "search_time", "remote_addr", "forwarded_for", "query",
+            "extensions", "page", "blocked", "results", "took_ms",
+        )
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(log_dir)
+    )
+    return out
+
+
+def read_query_log(spark, log_dir: str) -> DataFrame:
+    return spark.read.schema(QUERY_LOG_SCHEMA).parquet(log_dir)
 
 
 def highlight(df: DataFrame, q: str) -> DataFrame:

@@ -582,6 +582,39 @@ FROM idx CROSS JOIN ql
 """
 
 
+def q_stats_snapshot(spark, sf_dir):
+    """The stats MATERIALIZATION job (search/search.py:42-45,307-314): the
+    reference regenerates its global aggregations on a 120-min scheduler and
+    serves a file cache; here sources/statsstore.py runs the A4-A8 frames
+    once, commits them as an immutable snapshot version behind an atomic
+    pointer (the dimstore protocol — a concurrent reader sees old-or-new,
+    never half), and the query serves the ext breakdown FROM THE SNAPSHOT —
+    the fact table is not touched on the read path."""
+    import hashlib as _h
+
+    from .sources import statsstore
+
+    files = t(spark, sf_dir, "events").select(
+        F.col("user_id").alias("website_id"),
+        F.col("event_type").alias("ext"),
+        F.floor(F.col("value") * 1000).cast("long").alias("size"),
+        F.col("ts").alias("mtime"),
+    )
+    path = f"/tmp/oddb_stats_{_h.md5(sf_dir.encode()).hexdigest()[:10]}"
+    statsstore.materialize_stats(files, path)
+    snap = statsstore.read_stats(spark, path)
+    return snap["ext_stats"].orderBy(F.desc("doc_count"), F.asc("ext"))
+
+
+SQL_STATS_SNAPSHOT = """
+SELECT event_type AS ext, CAST(count(*) AS BIGINT) AS doc_count,
+       CAST(sum(CAST(floor(value * 1000) AS BIGINT)) AS BIGINT) AS size_sum
+FROM events
+WHERE floor(value * 1000) >= 0 AND floor(value * 1000) < 1000000000000
+GROUP BY 1 ORDER BY doc_count DESC, ext LIMIT 40
+"""
+
+
 # ---------------------------------------------------------------------------
 # training-data operators: dedup / quality / similarity
 
@@ -2035,6 +2068,7 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "blocklist": (q_blocklist, _sql_blocklist()),
     "ascii_fold": (q_ascii_fold, _sql_ascii_fold()),
     "index_meta_stats": (q_index_meta_stats, SQL_INDEX_META_STATS),
+    "stats_snapshot": (q_stats_snapshot, SQL_STATS_SNAPSHOT),
     "dedup_exact": (q_dedup_exact, SQL_DEDUP_EXACT),
     "text_quality": (q_text_quality, SQL_TEXT_QUALITY),
     "quality_flags": (q_quality_flags, _sql_quality_flags()),
