@@ -13,6 +13,7 @@ stopped (``resume=True``).
 
 from __future__ import annotations
 
+import os
 import time
 from dataclasses import dataclass, field
 
@@ -89,7 +90,25 @@ def run(
         t0 = time.time()
         state, fetched, images = fr.expand_round(state, pages, robots, round_seconds)
         n_fetched = fetched.count()
+        n_images = images.count()
         urls_fetched += n_fetched
+        if ckpt_dir is not None:
+            # spill the round's outputs to the checkpoint dir and hand the
+            # caller parquet-backed frames instead of pinning every round's
+            # localCheckpoint blocks for the whole crawl — on a 100-round
+            # crawl the block store otherwise grows linearly with rounds
+            # (round-4 verdict item).  Resume state is untouched: these are
+            # OUTPUTS, committed per round alongside (not inside) the
+            # .done-guarded state dirs.
+            spark_s = fetched.sparkSession
+            odir = os.path.join(ckpt_dir, "outputs", f"round_{state.round_no:05d}")
+            fetched.write.mode("overwrite").parquet(os.path.join(odir, "fetched"))
+            images.write.mode("overwrite").parquet(os.path.join(odir, "images"))
+            fetched_disk = spark_s.read.parquet(os.path.join(odir, "fetched"))
+            images_disk = spark_s.read.parquet(os.path.join(odir, "images"))
+            fetched.unpersist()
+            images.unpersist()
+            fetched, images = fetched_disk, images_disk
         fetched_pages.append(fetched)
         image_urls.append(images)
         rounds += 1
@@ -101,7 +120,7 @@ def run(
                 metrics={
                     "urls_fetched": n_fetched,
                     "round_sec": time.time() - t0,
-                    "images_found": images.count(),
+                    "images_found": n_images,
                 },
             )
             if compact_every and state.round_no > 0 and state.round_no % compact_every == 0:

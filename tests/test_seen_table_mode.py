@@ -212,6 +212,17 @@ def test_table_mode_seen_side_never_shuffles(spark, world_dfs):
             assert "url_hash" in ex[0] and "canon_url" not in ex[0], ex
             got = {r["canon_url"] for r in out.collect()}
             assert got == {f"http://h{i % 31}.t/d{i}/" for i in range(3000, 4000)}
+            # the crawl path feeds filter_unseen the ALIASED table view —
+            # the fallback anti-join must inherit the bucket alignment
+            # (alias-aware output partitioning), candidates-only exchange
+            from od_database_spark.operators import seen as seen_ops
+
+            out2 = seen_ops.filter_unseen(cand, SS.seen_view(spark, TABLE, 0))
+            ex2 = re.findall(
+                r"Exchange (?:hash|range)partitioning[^\n]*",
+                PL.plan_string(out2, "simple"),
+            )
+            assert len(ex2) == 1 and "canon_url" not in ex2[0], ex2
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
     finally:
