@@ -99,13 +99,12 @@ def test_crawl_images_stream_into_index_equals_full_rebuild(
 
 def test_long_crawl_bounded_block_store(spark, world_dfs, tmp_path):
     """#9: a many-round checkpointed crawl must not pin one localCheckpoint
-    per round per output — outputs spill to the ckpt dir and the cached-RDD
-    census stays flat; results identical to the in-memory form."""
+    per round per output — outputs spill to the ckpt dir (parquet-backed
+    frames, their blocks unpersisted); results identical to the in-memory
+    form.  The proof is structural, not a cached-RDD census (async
+    ContextCleaner GC makes census counts flaky in a shared session)."""
     pages, robots, blacklist = world_dfs
     seeds = world.gen_seeds(spark, N_HOSTS)
-
-    def census():
-        return len([i for i in spark.sparkContext._jsc.sc().getRDDStorageInfo()])
 
     # small politeness budget stretches the same world over many rounds
     # (round_seconds must be >= the max crawl_delay (5s) or zero-budget
@@ -114,16 +113,14 @@ def test_long_crawl_bounded_block_store(spark, world_dfs, tmp_path):
         spark, seeds, pages, robots, blacklist, round_seconds=6,
         max_rounds=25, fetch=False, use_bloom=False,
     )
-    before = census()
     ck = crawl.run(
         spark, seeds, pages, robots, blacklist, round_seconds=6,
         max_rounds=25, fetch=False, use_bloom=False,
         ckpt_dir=str(tmp_path / "ck"),
     )
-    after = census()
     assert ck.rounds == base.rounds and ck.rounds >= 8
     assert ck.urls_fetched == base.urls_fetched
-    # identical outputs, parquet-backed
+    # identical outputs...
     def urls(result):
         out = []
         for df in result.fetched_pages:
@@ -131,7 +128,9 @@ def test_long_crawl_bounded_block_store(spark, world_dfs, tmp_path):
         return out
 
     assert urls(ck) == urls(base)
-    # the checkpointed run added rounds' outputs to DISK, not the block
-    # store: its census grows by at most a constant (frontier + seen heads),
-    # not by ~2 blocks/round (the pre-fix behavior)
-    assert after - before < ck.rounds, (before, after, ck.rounds)
+    # ...and every returned round frame reads from checkpoint-dir FILES
+    # (zero pinned blocks), where the in-memory form is RDD-block-backed
+    for df in ck.fetched_pages + ck.image_urls:
+        files = df.inputFiles()
+        assert files and all(str(tmp_path) in f for f in files)
+    assert all(not df.inputFiles() for df in base.fetched_pages)
