@@ -42,7 +42,11 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def run_queries(spark, sf_dir: str) -> dict[str, float]:
+def run_queries(spark, sf_dir: str) -> tuple[dict[str, float], float, float]:
+    """Returns (per-query seconds, ingest seconds, query-loop wall seconds).
+    Ingest (index builds) is reported SEPARATELY from the suite wall — a
+    cold warehouse otherwise inflates the headline by the one-time build
+    cost (r5 found 33s of fresh builds inside a r4-comparable 36s number)."""
     from od_database_spark.operators import ann_store
     from od_database_spark.queries import REGISTRY
 
@@ -63,9 +67,11 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
 
     _ensure_scaled_lsh(spark, sf_dir)
     _ensure_scaled_ivf(spark, sf_dir)
-    log(f"ann index builds (untimed ingest): {time.time() - t0:.2f}s")
+    ingest_s = round(time.time() - t0, 2)
+    log(f"ann index builds (untimed ingest): {ingest_s}s")
 
     times: dict[str, float] = {}
+    t_loop = time.time()
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         t0 = time.time()
         # noop sink, not count(): count() lets Catalyst prune unreferenced
@@ -76,7 +82,7 @@ def run_queries(spark, sf_dir: str) -> dict[str, float]:
         fn(spark, sf_dir).write.mode("overwrite").format("noop").save()
         times[name] = round(time.time() - t0, 3)
         log(f"query {name}: {times[name]:.2f}s")
-    return times
+    return times, ingest_s, round(time.time() - t_loop, 3)
 
 
 # Corpus-proportional queries for the 10x anchor (the bounded-id queries
@@ -808,16 +814,15 @@ def main() -> None:
         app_name="oddb-bench", cpus=args.cpus,
         extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
-    t0 = time.time()
-    qtimes = run_queries(spark, SF_DIR)
-    total = round(time.time() - t0, 3)
+    qtimes, ingest_s, loop_wall = run_queries(spark, SF_DIR)
     spark.stop()
 
     result = {
         "metric": "oracle-query-suite wall time + crawl throughput at N/4N parallelism",
-        "value": total,
+        "value": loop_wall,  # query loop only; ingest reported separately
         "unit": "sec",
         "queries": qtimes,
+        "index_ingest_sec": ingest_s,
         "sf": SF_DIR.rstrip("/").rsplit("sf", 1)[-1],
     }
 
