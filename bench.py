@@ -426,10 +426,13 @@ def run_scaled_ivf(spark, sf10x_dir: str) -> dict:
     return out
 
 
-def run_crawl(spark, n_hosts: int) -> dict:
+def run_crawl(spark, n_hosts: int, seen_table: str | None = None) -> dict:
     """Full pipeline: submit → BFS to exhaustion → image fetch/decode.
     World generation and caching are setup (untimed); the timed window is
-    the frontier expansion + the fetch/decode stage."""
+    the frontier expansion + the fetch/decode stage.  ``seen_table`` runs
+    the crawl in durable-table mode (bucketed seen_store ground truth,
+    per-round appends) — the end-to-end cost of durability vs the
+    in-memory delta chain."""
     from pyspark.sql import functions as F
 
     from od_database_spark import schema
@@ -453,6 +456,7 @@ def run_crawl(spark, n_hosts: int) -> dict:
         accepted,
         use_bloom=os.environ.get("ODDB_BENCH_BLOOM", "1") == "1",
         expected_total_urls=max(n_pages * 2, 10_000),
+        seen_table=seen_table,
     )
     urls_fetched = 0
     image_url_dfs = []
@@ -490,9 +494,12 @@ def run_crawl(spark, n_hosts: int) -> dict:
     ).count()
     verify_s = time.time() - t2
 
+    if seen_table is not None:
+        spark.sql(f"DROP TABLE IF EXISTS {seen_table}")
     return {
         "hosts": n_hosts,
         "pages": n_pages,
+        "seen_mode": "table" if seen_table else "df",
         "rounds": rounds,
         "urls_fetched": urls_fetched,
         "crawl_sec": round(crawl_s, 2),
@@ -796,7 +803,8 @@ def main() -> None:
             extra_conf=conf,
         )
         if args.crawl:
-            print(json.dumps(run_crawl(spark, args.hosts)), flush=True)
+            tbl = "seen_bench_crawl" if args.seen_mode == "table" else None
+            print(json.dumps(run_crawl(spark, args.hosts, seen_table=tbl)), flush=True)
         elif args.fetch:
             print(json.dumps(run_fetch_throughput(spark, args.images)), flush=True)
         elif args.sf10x:
