@@ -106,7 +106,7 @@ SF10X_QUERIES = [
     "prefix_semi_join", "trigram_rank", "highlight",
     # scaled-geometry / trained-quantizer index views
     "embedding_lsh_scaled", "ivf_cell_stats", "ivf_cell_stats_scaled",
-    "embedding_neardup_scaled",
+    "embedding_neardup_scaled", "embedding_ivf_search_scaled",
     # crawl-operator oracle rows over star-schema-derived inputs
     "image_phash_neardup", "submit_dedup",
 ]

@@ -313,6 +313,7 @@ def politeness_select(
     robots: DataFrame,
     round_seconds: int = ROUND_SECONDS,
     skew_salt: int = 16,
+    max_broadcast_hosts: int | None = None,
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """Two-phase skew-safe politeness selection → (due, carry, aux).
 
@@ -332,8 +333,11 @@ def politeness_select(
     in its own bucket — so the global winners always survive the pre-prune.
     Phase 2 ranks the survivors (≤ salt×budget rows per host, bounded no
     matter how big the host) exactly and reduces them to one cutoff row per
-    host.  At ≥10^8 distinct hosts the cutoff table outgrows a broadcast —
-    swap the final join to a shuffle join on host; nothing else changes.
+    host.  At ≥10^8 distinct hosts the cutoff table outgrows a broadcast:
+    when the (checkpointed, metadata-cheap) cutoff count exceeds
+    ``max_broadcast_hosts``, the final split joins the cutoffs by SHUFFLE on
+    host instead — one extra exchange of the full rows, same semantics,
+    bounded driver memory (identical due/carry pinned by test).
 
     Returns (due, carry, aux): the caller unpersists ``aux`` (the tiny
     cutoff checkpoint) after materializing due/carry (expand_round does).
@@ -380,7 +384,14 @@ def politeness_select(
         )
         .localCheckpoint(eager=True)
     )
-    joined = frontier.join(F.broadcast(cutoffs), on="host", how="left")
+    # the gate is OPT-IN (None = always broadcast, zero extra jobs — the
+    # r3 job-trim holds): a deployment at ≥10^8 hosts passes a bound, pays
+    # one metadata-cheap count off the checkpoint above, and falls back to
+    # a shuffled cutoff join when the per-host table outgrows the driver
+    if max_broadcast_hosts is None or cutoffs.count() <= max_broadcast_hosts:
+        joined = frontier.join(F.broadcast(cutoffs), on="host", how="left")
+    else:
+        joined = frontier.join(cutoffs, on="host", how="left")
     np_ = -F.col("priority")
     is_due = F.coalesce(
         (np_ < F.col("_cut_np"))

@@ -1962,10 +1962,11 @@ def _sql_ivf_cells_ctes(k: int | None = None) -> list:
     return ctes
 
 
-def _sql_embedding_ivf() -> str:
+def _sql_embedding_ivf(k: int | None = None) -> str:
     """IVF oracle: the shared trained-quantizer CTE chain, then nprobe
-    ranking and candidate cosine — mirrors q_embedding_ivf_search."""
-    ctes = _sql_ivf_cells_ctes()
+    ranking and candidate cosine — mirrors q_embedding_ivf_search.  ``k``
+    replays the scaled coarse quantizer."""
+    ctes = _sql_ivf_cells_ctes(k)
     ctes.append(
         f"""qcells AS (
   SELECT cent_id AS qc FROM (
@@ -1989,6 +1990,17 @@ def _sql_embedding_ivf() -> str:
         "WITH " + ",\n".join(ctes)
         + "\nSELECT vec_id, ROUND(c, 4) AS cos FROM s ORDER BY cos DESC, vec_id LIMIT 5\n"
     )
+
+
+def q_embedding_ivf_search_scaled(spark, sf_dir):
+    """The scaled-K IVF SEARCH itself inside the gate (ivf_cell_stats_scaled
+    checks occupancy; this row checks the nprobe probe's top-k under the
+    K=64 quantizer).  Recall may legitimately differ from K=16 — the probed
+    nprobe/K slice of the corpus changes with the geometry — and the oracle
+    replays exactly that: same trained cells, same probe ranking."""
+    e = t(spark, sf_dir, "embeddings")
+    cents, cells = _ivf_frames(spark, sf_dir, k=IVF_SCALED_K)
+    return ivf_probe(e.filter(F.col("vec_id") == 0), cents, cells, IVF_NPROBE)
 
 
 def q_ivf_cell_stats(spark, sf_dir):
@@ -2084,6 +2096,10 @@ REGISTRY: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]
     "ivf_cell_stats_scaled": (q_ivf_cell_stats_scaled, _sql_ivf_cell_stats(IVF_SCALED_K)),
     "embedding_bucket_search": (q_embedding_bucket_search, _sql_embedding_bucket_search()),
     "embedding_ivf_search": (q_embedding_ivf_search, _sql_embedding_ivf()),
+    "embedding_ivf_search_scaled": (
+        q_embedding_ivf_search_scaled,
+        _sql_embedding_ivf(IVF_SCALED_K),
+    ),
     "simhash": (q_simhash, _sql_simhash()),
     "simhash_neardup": (q_simhash_neardup, _sql_simhash_neardup()),
     "embedding_neardup": (q_embedding_neardup, _sql_embedding_neardup()),

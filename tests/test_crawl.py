@@ -510,3 +510,48 @@ def test_compact_checkpoints(spark, world_dfs):
         assert nxt.round_no == surviving + 1
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
+
+
+def test_politeness_cutoff_shuffle_fallback_identical(spark):
+    """max_broadcast_hosts: above the bound the due/carry split joins the
+    per-host cutoffs by shuffle instead of broadcast — identical selection
+    (the ≥10^8-host deployment path), and the broadcast hint is gone from
+    the plan."""
+    from od_database_spark.plans import explain as PL
+
+    frontier = (
+        spark.range(4000)
+        .select(
+            F.format_string("http://h%d.p/d%d/", F.pmod("id", F.lit(97)), F.col("id")).alias("url"),
+            F.xxhash64(F.format_string("u%d", F.col("id"))).alias("url_hash"),
+            F.pmod("id", F.lit(97)).alias("website_id"),
+            F.format_string("h%d.p", F.pmod("id", F.lit(97))).alias("host"),
+            (F.pmod("id", F.lit(5)) + 1).cast("int").alias("priority"),
+            F.lit(1).alias("depth"),
+            F.col("id").alias("discovery_seq"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    robots = spark.createDataFrame(
+        [(f"h{i}.p", 1.0 + (i % 3), []) for i in range(97)],
+        "host string, crawl_delay double, disallow_prefixes array<string>",
+    )
+
+    def run(**kw):
+        due, carry, cut = fr.politeness_select(frontier, robots, round_seconds=9, **kw)
+        d = {(r["url"],) for r in due.select("url").collect()}
+        c = {(r["url"],) for r in carry.select("url").collect()}
+        cut.unpersist()
+        return d, c
+
+    d_b, c_b = run()
+    d_s, c_s = run(max_broadcast_hosts=0)  # force the shuffle path
+    assert d_b == d_s and c_b == c_s and d_b and c_b
+
+    due, _carry, cut = fr.politeness_select(
+        frontier, robots, round_seconds=9, max_broadcast_hosts=0
+    )
+    plan = PL.plan_string(due, "simple")
+    # the cutoff join must not be a broadcast in fallback mode
+    assert "BroadcastHashJoin" not in plan.split("Window")[0], plan
+    cut.unpersist()
