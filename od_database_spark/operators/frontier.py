@@ -802,6 +802,55 @@ def _seen_table_of(ckpt_dir: str) -> str | None:
         return f.read().strip() or None
 
 
+def compact_seen_table(spark: SparkSession, ckpt_dir: str) -> str:
+    """Generation compaction for table-mode checkpoints: per-round appends
+    add one file set per bucket, so a 1000-round crawl's seen table holds
+    64k small files.  Rewrite everything ≤ the latest committed round into
+    a fresh single-generation table (``<base>__g{n}``), flip the ckpt dir's
+    ``_SEEN_TABLE`` pointer atomically, then drop the old generation.
+
+    Crash-safe at every step: the new generation is fully committed before
+    the pointer flips (a crash before the flip leaves the old table live
+    and the orphan generation is overwritten by the next attempt); a crash
+    after the flip but before the drop leaves a dead old generation that
+    the next compaction's DROP IF EXISTS clears.  Callers holding a live
+    CrawlState must reload from the checkpoint afterwards (crawl.run's
+    compaction branch does) — the state's table name is stale once the
+    pointer moves."""
+    import re as _re
+
+    from . import seen_store
+
+    table = _seen_table_of(ckpt_dir)
+    if table is None:
+        raise ValueError(f"{ckpt_dir} has no _SEEN_TABLE pointer (not table mode)")
+    latest = latest_round(ckpt_dir)
+    if latest is None:
+        raise FileNotFoundError(f"no completed round under {ckpt_dir}")
+    m = _re.match(r"^(.*?)(?:__g(\d+))?$", table)
+    base, gen = m.group(1), int(m.group(2) or 0)
+    new_table = f"{base}__g{gen + 1}"
+    if not seen_store.recover_seen_table(spark, table):
+        raise FileNotFoundError(f"seen table {table!r} has no surviving state")
+    seen_store.compact_into_generation(spark, table, new_table, latest)
+    ptr = os.path.join(ckpt_dir, "_SEEN_TABLE")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(new_table)
+    os.replace(tmp, ptr)  # the commit point
+    # previous generation is dead once the pointer moved.  A RECOVERED old
+    # table is EXTERNAL (CREATE ... LOCATION), so DROP alone leaves its
+    # files — delete the location through the FS API as well (no-op for a
+    # managed drop that already removed it).
+    spark.sql(f"DROP TABLE IF EXISTS {table}")
+    from .ann_store import _fs, _table_dir
+
+    loc = _table_dir(spark, table)
+    fs, jpath = _fs(spark, loc)
+    fs.delete(jpath, True)
+    return new_table
+
+
 def _recover_compacting_delta(rd: str) -> None:
     """Heal a compaction interrupted anywhere inside its swap window:
 
@@ -850,9 +899,12 @@ def compact_checkpoints(spark: SparkSession, ckpt_dir: str) -> int:
     if latest is None:
         raise FileNotFoundError(f"no completed round under {ckpt_dir}")
     if _seen_table_of(ckpt_dir) is not None:
-        # table mode: the seen set already lives compact in ONE bucketed
-        # table (no per-round delta fan-in to fold) — compaction only trims
-        # the superseded round dirs (frontier/meta/lineage of older rounds)
+        # table mode: fold the per-round append file sets into a fresh
+        # single-generation table (bounds the table's file listing the way
+        # the delta fold bounds the loader's path fan-in), then trim the
+        # superseded round dirs (frontier/meta/lineage of older rounds).
+        # Callers must reload state afterwards — the table name changed.
+        compact_seen_table(spark, ckpt_dir)
         for d in os.listdir(ckpt_dir):
             if d.startswith("round_") and int(d.split("_")[1]) < latest:
                 shutil.rmtree(os.path.join(ckpt_dir, d), ignore_errors=True)

@@ -125,3 +125,39 @@ def filter_unseen_bucketed(
 
 def seen_count(spark: SparkSession, table: str) -> int:
     return spark.table(table).count()
+
+
+def data_file_count(spark: SparkSession, table: str) -> int:
+    """Committed data files under the table location (listing-cost proxy —
+    the thing per-round appends grow by one file set per bucket)."""
+    from .ann_store import _fs, _table_dir
+
+    loc = _table_dir(spark, table)
+    fs, jpath = _fs(spark, loc)
+    if not fs.exists(jpath):
+        return 0
+    return sum(
+        1
+        for s in fs.listStatus(jpath)
+        if not s.getPath().getName().startswith(("_", "."))
+    )
+
+
+def compact_into_generation(
+    spark: SparkSession, table: str, new_table: str,
+    round_no: int, n_buckets: int = N_BUCKETS,
+) -> None:
+    """Rewrite the seen table into a fresh single-generation table: all rows
+    ≤ ``round_no`` collapse into one file set per bucket, stamped with
+    ``round_no``.  The CALLER owns the atomic cutover (frontier.
+    compact_seen_table flips the ckpt dir's _SEEN_TABLE pointer and then
+    drops the old generation) — this function only produces the complete
+    new table, so a crash at any point here leaves the old generation live
+    and untouched."""
+    # a prior torn compaction may have left committed files (re-register so
+    # the overwrite below can commit) or only _temporary droppings (cleaned)
+    recover_seen_table(spark, new_table, n_buckets)
+    rows = seen_view(spark, table, round_no)
+    # duplicate rows from torn-round re-appends collapse here too (the
+    # anti-join never cared, but the compacted generation should be clean)
+    create_seen_table(rows.distinct(), new_table, n_buckets, round_no=round_no)

@@ -21,13 +21,15 @@ TABLE = "seen_crawl_mode_test"
 
 
 def _purge_table(spark, table):
-    spark.sql(f"DROP TABLE IF EXISTS {table}")
     from urllib.parse import urlparse
 
-    loc = urlparse(
-        spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + table
-    ).path
-    shutil.rmtree(loc, ignore_errors=True)
+    # compaction rolls the name through generations — purge those too
+    for name in [table] + [f"{table}__g{g}" for g in range(1, 6)]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        loc = urlparse(
+            spark.conf.get("spark.sql.warehouse.dir").rstrip("/") + "/" + name
+        ).path
+        shutil.rmtree(loc, ignore_errors=True)
 
 
 @pytest.fixture(scope="module")
@@ -164,9 +166,11 @@ def test_table_mode_cross_session_recovery(spark, world_dfs):
         _purge_table(spark, TABLE)
 
 
-def test_table_mode_compaction_trims_rounds(spark, world_dfs):
-    """Table-mode compaction deletes superseded round dirs; resume from the
-    surviving round still reconstructs the full seen set from the table."""
+def test_table_mode_compaction_trims_rounds_and_files(spark, world_dfs):
+    """Table-mode compaction: superseded round dirs deleted AND the
+    per-round append file sets fold into a fresh single-generation table
+    (the pointer flips atomically; old generation dropped); resume
+    reconstructs the identical seen set from the new generation."""
     import os
 
     _purge_table(spark, TABLE)
@@ -174,11 +178,53 @@ def test_table_mode_compaction_trims_rounds(spark, world_dfs):
     try:
         state, fetched = _run(spark, world_dfs, seen_table=TABLE, ckpt_dir=ckpt)
         want = {r["url"] for r in state.seen.collect()}
+        files_before = SS.data_file_count(spark, TABLE)
+        assert state.round_no >= 3  # several appends happened
         latest = fr.compact_checkpoints(spark, ckpt)
         rounds = [d for d in os.listdir(ckpt) if d.startswith("round_")]
         assert rounds == [f"round_{latest:05d}"]
+        new_table = fr._seen_table_of(ckpt)
+        assert new_table == f"{TABLE}__g1"
+        assert not spark.catalog.tableExists(TABLE)  # old generation dropped
+        # one file set per bucket instead of one per (bucket, round)
+        assert SS.data_file_count(spark, new_table) < files_before
         loaded = fr.load_checkpoint(spark, ckpt)
+        assert loaded.seen_table == new_table
         assert {r["url"] for r in loaded.seen.collect()} == want
+        # a second compaction rolls the generation again, idempotently
+        fr.compact_seen_table(spark, ckpt)
+        assert fr._seen_table_of(ckpt) == f"{TABLE}__g2"
+        assert {
+            r["url"] for r in fr.load_checkpoint(spark, ckpt).seen.collect()
+        } == want
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _purge_table(spark, TABLE)
+
+
+def test_table_mode_crash_before_pointer_flip_keeps_old_generation(
+    spark, world_dfs
+):
+    """Torn compaction: the new generation fully written but the pointer
+    not flipped — the loader keeps serving the OLD table; the next
+    compaction overwrites the orphan and completes."""
+    _purge_table(spark, TABLE)
+    ckpt = tempfile.mkdtemp(prefix="oddb_ckpt_tbltorn_")
+    try:
+        state, _ = _run(spark, world_dfs, seen_table=TABLE, ckpt_dir=ckpt)
+        want = {r["url"] for r in state.seen.collect()}
+        latest = fr.latest_round(ckpt)
+        # simulate the crash window: generation written, pointer untouched
+        SS.compact_into_generation(spark, TABLE, f"{TABLE}__g1", latest)
+        assert fr._seen_table_of(ckpt) == TABLE
+        loaded = fr.load_checkpoint(spark, ckpt)
+        assert loaded.seen_table == TABLE
+        assert {r["url"] for r in loaded.seen.collect()} == want
+        # retry completes over the orphan
+        assert fr.compact_seen_table(spark, ckpt) == f"{TABLE}__g1"
+        assert {
+            r["url"] for r in fr.load_checkpoint(spark, ckpt).seen.collect()
+        } == want
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
         _purge_table(spark, TABLE)
@@ -225,5 +271,33 @@ def test_table_mode_seen_side_never_shuffles(spark, world_dfs):
             assert len(ex2) == 1 and "canon_url" not in ex2[0], ex2
         finally:
             spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    finally:
+        _purge_table(spark, TABLE)
+
+
+def test_crawl_run_table_mode_with_compaction(spark, world_dfs, tmp_path):
+    """crawl.run end-to-end in table mode with in-crawl compaction
+    (compact_every): identical fetched set vs the default mode, and the
+    final state points at a rolled generation."""
+    from od_database_spark import crawl
+
+    pages, robots, blacklist = world_dfs
+    seeds = world.gen_seeds(spark, N_HOSTS)
+    _purge_table(spark, TABLE)
+    try:
+        base = crawl.run(
+            spark, seeds, pages, robots, blacklist, fetch=False, use_bloom=False,
+        )
+        tbl = crawl.run(
+            spark, seeds, pages, robots, blacklist, fetch=False, use_bloom=False,
+            seen_table=TABLE, ckpt_dir=str(tmp_path / "ck"), compact_every=2,
+        )
+        assert tbl.rounds == base.rounds
+        assert tbl.urls_fetched == base.urls_fetched
+        assert tbl.state.seen_table and tbl.state.seen_table.startswith(TABLE)
+        assert "__g" in tbl.state.seen_table  # compaction rolled at least once
+        seen_b = {r["url"] for r in base.state.seen.collect()}
+        seen_t = {r["url"] for r in tbl.state.seen.collect()}
+        assert seen_t == seen_b
     finally:
         _purge_table(spark, TABLE)
