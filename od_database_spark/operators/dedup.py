@@ -318,10 +318,16 @@ def connected_components(
         incoming = sym.join(
             labels.withColumnRenamed("doc_id", src), on=src
         ).select(F.col(dst).alias("doc_id"), "comp")
+        # carry the PREVIOUS label through the same aggregation (labels rows
+        # are unique per doc_id, so max(_old) over {old, NULL...} recovers
+        # it) — the convergence check then reads the round's checkpointed
+        # blocks instead of paying a second shuffle join per round (r6
+        # optimization, guide §2.4: one fewer exchange+job per iteration)
         prop = (
-            labels.unionByName(incoming)
+            labels.withColumn("_old", F.col("comp"))
+            .unionByName(incoming.withColumn("_old", F.lit(None).cast("long")))
             .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"))
+            .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
         )
         # pointer jump: label values are node ids, so look the label's own
         # label up in the same table and take the min — chains halve
@@ -338,16 +344,13 @@ def connected_components(
                 F.least(F.col("comp"), F.coalesce(F.col("_c2"), F.col("comp"))).alias(
                     "comp"
                 ),
+                "_old",
             )
         )
         new_labels = hop.localCheckpoint(eager=True)
-        changed = (
-            new_labels.join(labels.withColumnRenamed("comp", "_old"), on="doc_id")
-            .filter(F.col("comp") != F.col("_old"))
-            .count()
-        )
+        changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
         labels.unpersist()
-        labels = new_labels
+        labels = new_labels.drop("_old")
         if changed == 0:
             break
     sym.unpersist()  # dead once the loop converges (labels are frozen)

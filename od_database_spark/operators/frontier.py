@@ -130,8 +130,28 @@ def resolve_intra_batch(passed: DataFrame) -> DataFrame:
     deeper URLs, so iterating depth levels ascending reaches the exact serial
     fixpoint in max-depth passes (small: reference URLs are directory roots).
     """
-    w = Window.partitionBy("canon_url").orderBy("submit_seq")
-    uniq = passed.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn")
+    # earliest-submit winner per canonical URL via min(struct(...)) — the
+    # aggregation partial-combines map-side so duplicate URLs collapse
+    # BEFORE the exchange, vs the former row_number window's full sort of
+    # every row (guide §2.3: aggregate before you shuffle).  submit_seq is
+    # globally unique within a batch, so the struct min IS the window's
+    # first row; remaining fields only break (impossible) seq ties
+    # deterministically.
+    others = [c for c in passed.columns if c not in ("canon_url", "submit_seq")]
+    uniq = (
+        passed.groupBy("canon_url")
+        .agg(
+            F.min(
+                F.struct(F.col("submit_seq"), *[F.col(c) for c in others])
+            ).alias("_w")
+        )
+        .select(
+            *[
+                F.col(c) if c == "canon_url" else F.col(f"_w.{c}").alias(c)
+                for c in passed.columns
+            ]
+        )
+    )
     uniq = uniq.cache()
     depths = [r["depth"] for r in uniq.select("depth").distinct().collect()]
     accepted: DataFrame | None = None

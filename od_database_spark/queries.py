@@ -1078,25 +1078,39 @@ def q_ngram_jaccard(spark, sf_dir):
     table and the shingle material reads the persisted inverted index
     (ann_store) — NOTHING re-splits document text at query time."""
     cand = _store_candidates(spark, sf_dir)
-    # |A∩B| per candidate pair via exploded-shingle joins over the stored
-    # inverted index: the joins carry only slim (doc_id, shingle) rows — the
-    # arrays never ride a shuffle — and the fan-out is bounded by
-    # |candidates| × shingles-per-doc
+    # |A∩B| per candidate pair via per-doc shingle SETS (r6 optimization,
+    # guide §2.3/§3.3): the store rows are distinct per (doc_id, shingle)
+    # and the table is bucketed by doc_id, so one exchange-free groupBy
+    # rebuilds each doc's set + size; candidates then join the two small
+    # array columns and intersect natively.  The former exploded form
+    # re-shuffled the ENTIRE inverted index by (doc_id, shingle) for the
+    # intersection join — O(corpus × shingles-per-doc) exchange per query;
+    # this ships O(|candidates|) array payloads instead.  n_inter =
+    # size(array_intersect) over distinct sets ≡ the exploded join's
+    # per-pair match count, so jaccard is arithmetic-identical.
     ex = _shingle_rows(spark, sf_dir)
-    sizes = ex.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
-    ea = ex.select(F.col("doc_id").alias("doc_a"), "shingle")
-    eb = ex.select(F.col("doc_id").alias("doc_b"), "shingle")
-    inter = (
-        cand.join(ea, on="doc_a")
-        .join(eb, on=["doc_b", "shingle"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("n_inter"))
+    sets = ex.groupBy("doc_id").agg(
+        F.collect_list("shingle").alias("_dsh"), F.count("*").alias("n_sh")
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
-    pairs = (
-        inter.join(sa, on="doc_a").join(sb, on="doc_b")
+    sa = sets.select(
+        F.col("doc_id").alias("doc_a"), F.col("_dsh").alias("_dsh_a"),
+        F.col("n_sh").alias("n_a"),
+    )
+    sb = sets.select(
+        F.col("doc_id").alias("doc_b"), F.col("_dsh").alias("_dsh_b"),
+        F.col("n_sh").alias("n_b"),
+    )
+    scored = (
+        cand.join(sa, on="doc_a")
+        .join(sb, on="doc_b")
         .select(
+            "doc_a", "doc_b",
+            F.size(F.array_intersect("_dsh_a", "_dsh_b")).alias("n_inter"),
+            "n_a", "n_b",
+        )
+    )
+    pairs = (
+        scored.select(
             "doc_a", "doc_b",
             F.round(
                 F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter")), 4
@@ -1545,17 +1559,18 @@ def q_embedding_bucket_search(spark, sf_dir):
     bucket pruning — only the matching bucket files are read; the corpus
     NEVER recomputes its bucket keys at query time), and brute-force cosine
     runs only over the candidate ids (top 5)."""
-    from .operators.dedup import ann_band_buckets
-
     e = t(spark, sf_dir, "embeddings")
     idx = _lsh_keyed(spark, sf_dir)
-    # phase 1 (query planning): the query's own bucket keys — an O(bands)
-    # computation on ONE vector, what an index lookup does at scale.
+    # phase 1 (query planning): the query vector's own bucket keys, READ
+    # from the index rows (the index stores every vector's keys, bit-
+    # identical to the inline banding) — an O(bands)-row lookup with a
+    # trivial plan, vs re-planning the bands × rows × dim literal
+    # hyperplane tree per invocation (driver planning dominated this
+    # query's latency — guide §7.3; the banding tree was ~25% of a fresh
+    # plan, measured r2)
     q_buckets = [
         r["bucket"]
-        for r in e.filter(F.col("vec_id") == 0)
-        .select(F.explode(ann_band_buckets(F.col("embedding"))).alias("bucket"))
-        .collect()
+        for r in idx.filter(F.col("vec_id") == 0).select("bucket").collect()
     ]
     cand_ids = (
         idx.filter((F.col("vec_id") != 0) & F.col("bucket").isin(q_buckets))

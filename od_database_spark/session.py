@@ -61,7 +61,16 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("ODDB_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.maxPlanStringLength", "16384")
-        .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # broadcast budget vs ESTIMATES: relation sizes are estimated from
+        # zstd-parquet bytes (~6-20x smaller than in-memory), so the old
+        # 64MB budget admitted multi-GB hashed relations (a 600k-row
+        # shingle-set aggregate broadcast twice cost 4s+ per query at sf1.0
+        # — measured r6).  8MB of estimated bytes keeps genuine dim tables
+        # broadcasting while fat text/array relations take the shuffle
+        # path; explicit F.broadcast hints (cutoffs, robots, probe keys)
+        # bypass this and still fire.  Measured r6: sf1.0 suite 66.9s ->
+        # 51.5s, sf0.1 plans unchanged.
+        .config("spark.sql.autoBroadcastJoinThreshold", str(8 * 1024 * 1024))
         # let a table bucketed on url_hash satisfy joins keyed on
         # (url_hash, url): subset co-partitioning keeps the bucketed side
         # shuffle-free (operators/seen_store.py); physical-plan-only knob

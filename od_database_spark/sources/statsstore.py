@@ -51,8 +51,18 @@ def materialize_stats(files: DataFrame, path: str) -> str:
     n = int(cur[1:]) + 1 if cur else 1
     vdir = f"v{n:05d}"
     stats = global_stats(files)
-    for name in STAT_FRAMES:
+
+    # the five aggregation jobs are independent — submit them from a small
+    # thread pool so each job's task tail back-fills the executors instead
+    # of serializing five scans (guide §2.6); every frame still lands
+    # before the pointer flips, so the commit protocol is unchanged
+    def _write(name: str) -> None:
         stats[name].write.mode("overwrite").parquet(os.path.join(path, vdir, name))
+
+    from concurrent.futures import ThreadPoolExecutor
+
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        list(pool.map(_write, STAT_FRAMES))
     tmp = os.path.join(path, "_LATEST.tmp")
     with open(tmp, "w") as f:
         f.write(vdir)
