@@ -92,15 +92,30 @@ FOLD_ONE, FOLD_MULTI, FOLD_UNFOLDABLE = _build()
 _SRC = "".join(sorted(FOLD_ONE))
 _DST = "".join(FOLD_ONE[c] for c in sorted(FOLD_ONE))
 
+# the fold_ascii_col fast-path guard assumes every fold source char sits in
+# [U+00C0, U+FFFF] — enforce it so a future table edit can't silently make
+# the guard skip foldable rows
+assert min(ord(c) for c in (*FOLD_ONE, *FOLD_MULTI)) >= 0xC0
+assert max(ord(c) for c in (*FOLD_ONE, *FOLD_MULTI)) <= 0xFFFF
+
 
 def fold_ascii_col(col: Column) -> Column:
     """Apply the full fold as native expressions: the (few) one-to-many
     mappings as literal replaces, then ONE translate for the hundreds of
-    one-to-one mappings — all whole-stage-codegen'd, no UDF."""
+    one-to-one mappings — all whole-stage-codegen'd, no UDF.
+
+    Fast path (r6): every fold SOURCE character is >= U+00C0 (the Latin
+    ranges plus typographic punctuation), so a string with no character in
+    [U+00C0, U+FFFF] is a fold fixpoint — one rlike scan skips the
+    ~17-replace + translate chain for such rows (the common case on
+    ASCII-heavy corpora; rows with foldable characters pay one extra scan).
+    Surrogate halves of astral characters fall inside the guard range, so
+    any non-BMP text conservatively takes the full chain."""
     out = col
     for ch in sorted(FOLD_MULTI):
         out = F.replace(out, F.lit(ch), F.lit(FOLD_MULTI[ch]))
-    return F.translate(out, _SRC, _DST)
+    folded = F.translate(out, _SRC, _DST)
+    return F.when(col.rlike("[\\u00c0-\\uffff]"), folded).otherwise(col)
 
 
 def _q(s: str) -> str:  # SQL single-quote escaping (the fold emits "'")

@@ -306,29 +306,43 @@ def connected_components(
         .unionByName(edges.select(F.col(dst).alias(src), F.col(src).alias(dst)))
         .localCheckpoint(eager=True)
     )
-    labels = (
-        sym.select(F.col(src).alias("doc_id"))
-        .distinct()
-        .withColumn("comp", F.col("doc_id"))
-        .localCheckpoint(eager=True)
-    )
+    labels = None  # round 1 derives identity labels from sym itself (below)
+    prev_ckpt = None  # the checkpointed frame (unpersist must hit IT)
     iters = 0
     while True:
         iters += 1
-        incoming = sym.join(
-            labels.withColumnRenamed("doc_id", src), on=src
-        ).select(F.col(dst).alias("doc_id"), "comp")
-        # carry the PREVIOUS label through the same aggregation (labels rows
-        # are unique per doc_id, so max(_old) over {old, NULL...} recovers
-        # it) — the convergence check then reads the round's checkpointed
-        # blocks instead of paying a second shuffle join per round (r6
-        # optimization, guide §2.4: one fewer exchange+job per iteration)
-        prop = (
-            labels.withColumn("_old", F.col("comp"))
-            .unionByName(incoming.withColumn("_old", F.lit(None).cast("long")))
-            .groupBy("doc_id")
-            .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
-        )
+        if labels is None:
+            # round 1 fused (r6 optimization): with identity labels, the
+            # edge join is the edge list itself — every node appears as src
+            # of the symmetric list, so min(own id, neighbor ids) is ONE
+            # exchange-free-side aggregation over sym; no separate
+            # distinct+checkpoint job for the identity frame and no join.
+            # _old (the identity label) is the group key itself.
+            prop = (
+                sym.select(
+                    F.col(src).alias("doc_id"),
+                    F.least(F.col(src), F.col(dst)).alias("comp"),
+                )
+                .groupBy("doc_id")
+                .agg(F.min("comp").alias("comp"))
+                .withColumn("_old", F.col("doc_id"))
+            )
+        else:
+            incoming = sym.join(
+                labels.withColumnRenamed("doc_id", src), on=src
+            ).select(F.col(dst).alias("doc_id"), "comp")
+            # carry the PREVIOUS label through the same aggregation (labels
+            # rows are unique per doc_id, so max(_old) over {old, NULL...}
+            # recovers it) — the convergence check then reads the round's
+            # checkpointed blocks instead of paying a second shuffle join
+            # per round (r6 optimization, guide §2.4: one fewer
+            # exchange+job per iteration)
+            prop = (
+                labels.withColumn("_old", F.col("comp"))
+                .unionByName(incoming.withColumn("_old", F.lit(None).cast("long")))
+                .groupBy("doc_id")
+                .agg(F.min("comp").alias("comp"), F.max("_old").alias("_old"))
+            )
         # pointer jump: label values are node ids, so look the label's own
         # label up in the same table and take the min — chains halve
         hop = (
@@ -349,7 +363,9 @@ def connected_components(
         )
         new_labels = hop.localCheckpoint(eager=True)
         changed = new_labels.filter(F.col("comp") != F.col("_old")).count()
-        labels.unpersist()
+        if prev_ckpt is not None:
+            prev_ckpt.unpersist()
+        prev_ckpt = new_labels
         labels = new_labels.drop("_old")
         if changed == 0:
             break

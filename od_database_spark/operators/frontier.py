@@ -122,13 +122,19 @@ def packed_seq(df: DataFrame, order_cols: list, round_no: int) -> DataFrame:
     return d.select("*", packed.alias("discovery_seq")).localCheckpoint(eager=True)
 
 
-def resolve_intra_batch(passed: DataFrame) -> DataFrame:
+def resolve_intra_batch(passed: DataFrame, depths: list | None = None) -> DataFrame:
     """Serial-submission semantics over a parallel batch (views.py:269-302
     replayed in submit_seq order): among identical canonical URLs the earliest
     submission wins; a candidate is rejected iff an ACCEPTED strict prefix of
     it has a smaller submit_seq.  Dependencies always point from shallower to
     deeper URLs, so iterating depth levels ascending reaches the exact serial
     fixpoint in max-depth passes (small: reference URLs are directory roots).
+
+    ``depths``: a caller that constructs the batch and KNOWS its depth
+    domain can pass it (any superset of the occurring values is safe — an
+    empty level is a no-op) to skip the distinct-depth discovery job, one
+    full evaluation of the batch (r6, guide §1.2: don't compute what the
+    caller already knows).  Default None preserves the discovery pass.
     """
     # earliest-submit winner per canonical URL via min(struct(...)) — the
     # aggregation partial-combines map-side so duplicate URLs collapse
@@ -153,7 +159,8 @@ def resolve_intra_batch(passed: DataFrame) -> DataFrame:
         )
     )
     uniq = uniq.cache()
-    depths = [r["depth"] for r in uniq.select("depth").distinct().collect()]
+    if depths is None:
+        depths = [r["depth"] for r in uniq.select("depth").distinct().collect()]
     accepted: DataFrame | None = None
     for d in sorted(depths):
         level = uniq.filter(F.col("depth") == d)

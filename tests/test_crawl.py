@@ -555,3 +555,25 @@ def test_politeness_cutoff_shuffle_fallback_identical(spark):
     # the cutoff join must not be a broadcast in fallback mode
     assert "BroadcastHashJoin" not in plan.split("Window")[0], plan
     cut.unpersist()
+
+
+def test_resolve_intra_batch_depths_param_parity(spark):
+    """The r6 ``depths`` shortcut (caller-known depth domain skips the
+    discovery job) must select the exact same accepted set as discovery —
+    including the serial-fixpoint subtleties: a LATER root does not
+    retro-block an earlier-accepted subdir, and an exact duplicate resolves
+    to the earliest submit_seq.  A superset depth list is also a no-op."""
+    rows = [
+        ("http://h.ex/a/b/", 1, 2),   # dir accepted first
+        ("http://h.ex/a/", 5, 1),     # later root: must NOT block seq-1 dir
+        ("http://h.ex/a/c/", 7, 2),   # dir after the root: blocked by seq-5 root
+        ("http://h.ex/z/", 2, 1),     # root accepted
+        ("http://h.ex/z/q/", 3, 2),   # blocked by seq-2 root
+        ("http://h.ex/a/b/", 9, 2),   # exact dup: loses to seq 1
+    ]
+    df = spark.createDataFrame(rows, "canon_url string, submit_seq long, depth int")
+    key = lambda out: sorted((r["canon_url"], r["submit_seq"]) for r in out.collect())
+    base = key(fr.resolve_intra_batch(df))
+    assert base == [("http://h.ex/a/", 5), ("http://h.ex/a/b/", 1), ("http://h.ex/z/", 2)]
+    assert key(fr.resolve_intra_batch(df, depths=[1, 2])) == base
+    assert key(fr.resolve_intra_batch(df, depths=[1, 2, 3, 4])) == base

@@ -106,3 +106,26 @@ def test_fold_properties():
         assert fold_ascii_py(s) == s
 
     check_ascii_identity()
+
+
+def test_fold_ascii_col_fast_path_matches_py(spark):
+    """The r6 rlike fast path (skip the replace+translate chain for rows
+    with no char in [U+00C0, U+FFFF]) must be invisible: Spark-side fold ==
+    the pure-Python table on mixed corpora — pure-ASCII rows (guard skips),
+    accented/ligature/typographic rows (chain runs), sub-U+00C0 non-ASCII
+    (guard skips AND the table doesn't touch them), empty and NULL."""
+    from od_database_spark.functions.fold import fold_ascii_col, fold_ascii_py
+
+    rows = [
+        "plain ascii only",
+        "",
+        "Ångström ﬁne ß straße",          # fold sources incl. multi-char
+        "‘quoted’ — dash",       # typographic punctuation
+        "«guillemets» ±5 ¿q?",                  # U+0080-00BF: untouched either way
+        "mixed zürich and ascii tail",
+        None,
+    ]
+    df = spark.createDataFrame([(s,) for s in rows], "s string")
+    got = [r["f"] for r in df.select(fold_ascii_col(F.col("s")).alias("f")).collect()]
+    want = [None if s is None else fold_ascii_py(s) for s in rows]
+    assert got == want
