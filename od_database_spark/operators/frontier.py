@@ -829,6 +829,31 @@ def _seen_table_of(ckpt_dir: str) -> str | None:
         return f.read().strip() or None
 
 
+def _write_seen_floor(ckpt_dir: str, floor: int) -> None:
+    """Record the seen-table compaction floor: generation compaction stamps
+    every surviving row with the latest round, so an explicit
+    load_checkpoint(round_no < floor) can no longer reconstruct that
+    round's seen set (the round_no <= bound filter would silently yield an
+    EMPTY one).  Written BEFORE the _SEEN_TABLE pointer flips — a crash in
+    between leaves an over-strict floor with the old generation still
+    live, which errs on raising, never on re-admitting seen URLs (the
+    delta path's .compacted-marker invariant, table-mode form)."""
+    ptr = os.path.join(ckpt_dir, "_SEEN_FLOOR")
+    tmp = ptr + ".tmp"
+    with open(tmp, "w") as f:
+        f.write(str(int(floor)))
+    os.replace(tmp, ptr)
+
+
+def _seen_floor_of(ckpt_dir: str) -> int | None:
+    ptr = os.path.join(ckpt_dir, "_SEEN_FLOOR")
+    if not os.path.isfile(ptr):
+        return None
+    with open(ptr) as f:
+        raw = f.read().strip()
+    return int(raw) if raw else None
+
+
 def compact_seen_table(spark: SparkSession, ckpt_dir: str) -> str:
     """Generation compaction for table-mode checkpoints: per-round appends
     add one file set per bucket, so a 1000-round crawl's seen table holds
@@ -860,6 +885,9 @@ def compact_seen_table(spark: SparkSession, ckpt_dir: str) -> str:
     if not seen_store.recover_seen_table(spark, table):
         raise FileNotFoundError(f"seen table {table!r} has no surviving state")
     seen_store.compact_into_generation(spark, table, new_table, latest)
+    # floor first (see _write_seen_floor): the window between the two
+    # writes is fail-raise, never fail-empty
+    _write_seen_floor(ckpt_dir, latest)
     ptr = os.path.join(ckpt_dir, "_SEEN_TABLE")
     tmp = ptr + ".tmp"
     with open(tmp, "w") as f:
@@ -1044,6 +1072,14 @@ def load_checkpoint(
         # appended file).  Re-register surviving files after session loss.
         from . import seen_store
 
+        floor = _seen_floor_of(ckpt_dir)
+        if floor is not None and round_no < floor:
+            raise ValueError(
+                f"round {round_no} predates the seen-table compaction floor "
+                f"{floor} under {ckpt_dir}: generation compaction re-stamped "
+                "all rows with the latest round, so this round's seen set no "
+                "longer exists — resuming would run with an EMPTY seen set."
+            )
         if not seen_store.recover_seen_table(spark, seen_table):
             raise FileNotFoundError(
                 f"{ckpt_dir} points at seen table {seen_table!r} but neither a "

@@ -292,8 +292,12 @@ def search_and_log(
     blocklist, run the search, and append exactly one SearchLogEntry row —
     query, extensions, page, blocked flag, total hit count, wall ms — to the
     append-only ``query_log`` parquet dir (the A9 meta-stats input).  A
-    blocked query logs blocked=True with zero results and returns no rows,
-    exactly the InvalidQueryException branch.
+    blocked query logs blocked=True with zero results and returns no rows
+    (the InvalidQueryException branch, with two DOCUMENTED divergences:
+    the reference logs results=-1/took=-1 sentinels there — views.py:
+    218-220 — where this logs the honest 0 and measured wall-ms; and
+    is_blocked_query matches case-insensitively where the reference's
+    SearchFilter compares file terms verbatim).
 
     The total-hits count is an action (the reference's hits.total is too);
     the returned page DataFrame stays lazy."""

@@ -301,3 +301,33 @@ def test_crawl_run_table_mode_with_compaction(spark, world_dfs, tmp_path):
         assert seen_t == seen_b
     finally:
         _purge_table(spark, TABLE)
+
+
+def test_table_mode_compaction_floor_rejects_older_round_load(spark, world_dfs):
+    """ADVICE r5 fix: generation compaction re-stamps every surviving row
+    with the latest round, so a crash between the _SEEN_TABLE pointer flip
+    and the round-dir trim used to let load_checkpoint(round_no=<older>)
+    silently reconstruct an EMPTY seen set.  The _SEEN_FLOOR pointer now
+    makes that load RAISE instead (raise-not-readmit invariant, table-mode
+    form); loads at/after the floor still work."""
+    import os
+
+    _purge_table(spark, TABLE)
+    ckpt = tempfile.mkdtemp(prefix="oddb_ckpt_floor_")
+    try:
+        state, _fetched = _run(spark, world_dfs, seen_table=TABLE, ckpt_dir=ckpt)
+        assert state.round_no >= 2
+        want = {r["url"] for r in state.seen.collect()}
+        older = state.round_no - 1
+        latest = state.round_no
+        # simulate the crash window: compact the TABLE (pointer + floor
+        # flip) but leave the older round dirs untrimmed
+        fr.compact_seen_table(spark, ckpt)
+        assert os.path.isdir(os.path.join(ckpt, f"round_{older:05d}"))
+        with pytest.raises(ValueError, match="compaction floor"):
+            fr.load_checkpoint(spark, ckpt, round_no=older)
+        loaded = fr.load_checkpoint(spark, ckpt, round_no=latest)
+        assert {r["url"] for r in loaded.seen.collect()} == want
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+        _purge_table(spark, TABLE)
